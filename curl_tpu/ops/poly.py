@@ -1,0 +1,153 @@
+"""Multivariate-polynomial image transforms.
+
+The live CURL model predicts, per image and per output channel, the
+coefficients of a total-degree <= D polynomial in V variables (V=5: R,G,B and
+the two normalized spatial coordinates). This module provides:
+
+  * `monomial_powers(degree, num_vars)` — exponent tuples in *graded
+    colex-compatible order*, provably identical to the ordering the PyTorch
+    reference uses (reference model.py:223-246, `generate_powers`), so
+    converted checkpoints index coefficients identically. Implementation here
+    is independent: `itertools.combinations_with_replacement` per degree.
+  * `monomial_chain(degree, num_vars)` — an incremental evaluation plan:
+    every degree-d monomial equals a degree-(d-1) monomial times one variable,
+    so the whole basis costs one multiply per monomial. This is what both the
+    XLA path and the Pallas kernel use instead of materializing
+    `pow(img, powers)` broadcasts like the reference (model.py:319-321).
+  * `poly_apply(img, coeffs, ...)` — evaluates the polynomial per pixel and
+    contracts with per-image coefficients (reference
+    `ChannelPolyLayer.forward`, model.py:295-333). The contraction is shaped
+    (pixels, num_coeffs) @ (num_coeffs, num_out) to land on the MXU.
+
+Terminology matches the reference: `num_coeffs = C(V+D, D)`; for the flagship
+degree-4, 5-variable transform that is 126 monomials.
+"""
+
+from __future__ import annotations
+
+import itertools
+import math
+from functools import lru_cache, partial
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import Array
+
+
+def num_monomials(degree: int, num_vars: int) -> int:
+    """C(num_vars + degree, degree): size of the total-degree-<=D basis in V
+    variables (reference `ChannelPolyLayer.ncr`, model.py:288-293)."""
+    return math.comb(num_vars + degree, degree)
+
+
+@lru_cache(maxsize=None)
+def monomial_powers(degree: int, num_vars: int) -> tuple[tuple[int, ...], ...]:
+    """Exponent tuples for all monomials of total degree <= `degree`.
+
+    Ordering: ascending total degree; within a degree, the order produced by
+    `itertools.combinations_with_replacement(range(num_vars), d)` mapped to
+    exponent counts — i.e. for degree 2 in (x, y): x^2, xy, y^2. This graded
+    order equals the reference generator's order (model.py:223-246); the unit
+    tests assert equality for every (degree, vars) combination used.
+    """
+    if degree < 0 or num_vars < 0:
+        raise ValueError("degree and num_vars must be non-negative")
+    out: list[tuple[int, ...]] = []
+    for d in range(degree + 1):
+        for combo in itertools.combinations_with_replacement(range(num_vars), d):
+            exps = [0] * num_vars
+            for v in combo:
+                exps[v] += 1
+            out.append(tuple(exps))
+    return tuple(out)
+
+
+@lru_cache(maxsize=None)
+def monomial_chain(degree: int, num_vars: int) -> tuple[tuple[int, int], ...]:
+    """Incremental plan: for each monomial k (skipping the constant term at
+    index 0) a pair (parent_index, var_index) such that
+    ``m[k] = m[parent] * x[var]``. One multiply per basis element."""
+    powers = monomial_powers(degree, num_vars)
+    index = {p: i for i, p in enumerate(powers)}
+    plan: list[tuple[int, int]] = []
+    for p in powers[1:]:
+        # Remove one unit from the first nonzero exponent -> parent monomial.
+        v = next(i for i, e in enumerate(p) if e > 0)
+        parent = list(p)
+        parent[v] -= 1
+        plan.append((index[tuple(parent)], v))
+    return tuple(plan)
+
+
+def monomial_basis(channels: Sequence[Array], degree: int) -> Array:
+    """Stack the full monomial basis along a new trailing axis.
+
+    `channels` is a sequence of V same-shaped arrays (one per polynomial
+    variable). Returns shape (*spatial, num_coeffs). Built with the
+    incremental chain — never computes a `pow`.
+    """
+    num_vars = len(channels)
+    plan = monomial_chain(degree, num_vars)
+    terms: list[Array] = [jnp.ones_like(channels[0])]
+    for parent, var in plan:
+        terms.append(terms[parent] * channels[var])
+    return jnp.stack(terms, axis=-1)
+
+
+@partial(jax.jit, static_argnames=("degree", "num_out"))
+def poly_apply(img: Array, coeffs: Array, *, degree: int = 4, num_out: int = 3) -> Array:
+    """Per-pixel polynomial transform with per-image coefficients.
+
+    Args:
+      img: (B, H, W, V) — V polynomial variables per pixel (e.g. 3 color
+        channels + 2 normalized coordinates).
+      coeffs: (B, num_out, num_coeffs) — per-image coefficients, same
+        layout/ordering as the reference `ChannelPolyLayer.forward`
+        (model.py:295-333).
+      degree: total polynomial degree.
+      num_out: output channels.
+
+    Returns:
+      (B, H, W, num_out).
+    """
+    b, h, w, v = img.shape
+    n = num_monomials(degree, v)
+    if coeffs.shape != (b, num_out, n):
+        raise ValueError(
+            f"coeffs must be (batch, {num_out}, {n}); got {coeffs.shape}"
+        )
+    channels = [img[..., i] for i in range(v)]
+    basis = monomial_basis(channels, degree)  # (B, H, W, N)
+    # (B, HW, N) @ (B, N, num_out) -> MXU-friendly batched matmul.
+    flat = basis.reshape(b, h * w, n)
+    out = jax.lax.dot_general(
+        flat,
+        coeffs.transpose(0, 2, 1).astype(flat.dtype),
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    return out.reshape(b, h, w, num_out).astype(img.dtype)
+
+
+def poly_string(img_name: str, coeff_name: str, degree: int, num_vars: int) -> str:
+    """Human-readable polynomial expression for export/codegen — role of the
+    reference's `generate_poly_string` (model.py:248-262)."""
+    terms = []
+    for k, powers in enumerate(monomial_powers(degree, num_vars)):
+        factors = [f"{coeff_name}[{k}]"]
+        for idx, p in enumerate(powers):
+            if p == 1:
+                factors.append(f"{img_name}[{idx}]")
+            elif p > 1:
+                factors.append(f"({img_name}[{idx}]**{p})")
+        terms.append("*".join(factors))
+    return " + ".join(terms)
+
+
+def powers_array(degree: int, num_vars: int) -> np.ndarray:
+    """(num_coeffs, num_vars) int array of exponents — the converter checks
+    this against a torch checkpoint's stored `powers` buffer to validate
+    coefficient ordering."""
+    return np.array(monomial_powers(degree, num_vars), dtype=np.int32)

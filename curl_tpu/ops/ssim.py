@@ -1,0 +1,118 @@
+"""Differentiable SSIM / multi-scale SSIM over NHWC images.
+
+Gaussian-window SSIM via depthwise convolution (the TPU-native equivalent of
+the reference's grouped `F.conv2d` pyramid, /root/reference/metric.py:75-211),
+doubling as both an eval metric and the loss's SSIM term.
+
+Faithfully reproduced reference behaviors:
+  * Gaussian window, sigma=1.5, zero padding of window_size//2
+    (metric.py:98-103,130-146).
+  * 5-level pyramid via non-overlapping 2x2 average pooling with weights
+    [0.0448, 0.2856, 0.3001, 0.2363, 0.1333] (metric.py:78,185-193).
+  * The non-standard "simple normalize": ssim and cs maps mapped through
+    (x+1)/2 before weighting (metric.py:198-201).
+  * The final combination `prod(mcs[:, :-1]**w[:-1] * (ssim[:, -1]**w[-1]),
+    axis=1)` — note the broadcast raises the last-level ssim term to the 4th
+    power of its weight, exactly as the reference does (metric.py:203-207).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import Array
+
+MSSSIM_WEIGHTS = (0.0448, 0.2856, 0.3001, 0.2363, 0.1333)
+
+
+@lru_cache(maxsize=None)
+def _gaussian_kernel(window_size: int, sigma: float, channels: int) -> np.ndarray:
+    """(W, W, 1, C) HWIO depthwise kernel of normalized Gaussian weights
+    (reference metric.py:87-117)."""
+    g = np.array(
+        [math.exp(-((x - window_size // 2) ** 2) / (2.0 * sigma**2)) for x in range(window_size)],
+        dtype=np.float32,
+    )
+    g = g / g.sum()
+    k2d = np.outer(g, g).astype(np.float32)
+    return np.tile(k2d[:, :, None, None], (1, 1, 1, channels))
+
+
+def _depthwise_blur(img: Array, window_size: int, sigma: float) -> Array:
+    c = img.shape[-1]
+    kernel = jnp.asarray(_gaussian_kernel(window_size, sigma, c), dtype=img.dtype)
+    pad = window_size // 2
+    return jax.lax.conv_general_dilated(
+        img,
+        kernel,
+        window_strides=(1, 1),
+        padding=[(pad, pad), (pad, pad)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=c,
+    )
+
+
+def ssim(
+    img1: Array,
+    img2: Array,
+    window_size: int = 11,
+    sigma: float = 1.5,
+) -> tuple[Array, Array]:
+    """Single-scale SSIM. Returns per-image (ssim_mean, contrast_structure)
+    both shaped (B,) (reference `compute_ssim`, metric.py:119-160)."""
+    mu1 = _depthwise_blur(img1, window_size, sigma)
+    mu2 = _depthwise_blur(img2, window_size, sigma)
+    mu1_sq, mu2_sq, mu1_mu2 = mu1 * mu1, mu2 * mu2, mu1 * mu2
+    sigma1_sq = _depthwise_blur(img1 * img1, window_size, sigma) - mu1_sq
+    sigma2_sq = _depthwise_blur(img2 * img2, window_size, sigma) - mu2_sq
+    sigma12 = _depthwise_blur(img1 * img2, window_size, sigma) - mu1_mu2
+
+    c1, c2 = 0.01**2, 0.03**2
+    ssim_map = ((2.0 * mu1_mu2 + c1) * (2.0 * sigma12 + c2)) / (
+        (mu1_sq + mu2_sq + c1) * (sigma1_sq + sigma2_sq + c2)
+    )
+    cs = jnp.mean((2.0 * sigma12 + c2) / (sigma1_sq + sigma2_sq + c2), axis=(1, 2, 3))
+    return jnp.mean(ssim_map, axis=(1, 2, 3)), cs
+
+
+def _avg_pool_2x2(img: Array) -> Array:
+    """Non-overlapping 2x2 mean pool, floor semantics — matches torch
+    `F.avg_pool2d(x, (2, 2))` (reference metric.py:192-193)."""
+    summed = jax.lax.reduce_window(
+        img, 0.0, jax.lax.add, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
+    )
+    return summed * 0.25
+
+
+@partial(jax.jit, static_argnames=("window_size", "levels"))
+def ms_ssim(
+    img1: Array,
+    img2: Array,
+    window_size: int = 11,
+    levels: int = 5,
+) -> Array:
+    """Multi-scale SSIM, per image: (B, H, W, C) x2 -> (B,).
+
+    Reference `compute_msssim` (metric.py:162-208) including its
+    simple-normalization and last-level broadcast quirks; differentiable.
+    """
+    weights = jnp.asarray(MSSSIM_WEIGHTS[:levels], dtype=img1.dtype)
+    ssims, mcs = [], []
+    for _ in range(levels):
+        s, cs = ssim(img1, img2, window_size=window_size)
+        ssims.append(s)
+        mcs.append(cs)
+        img1 = _avg_pool_2x2(img1)
+        img2 = _avg_pool_2x2(img2)
+    ssims_arr = (jnp.stack(ssims, axis=1) + 1.0) / 2.0  # (B, L)
+    mcs_arr = (jnp.stack(mcs, axis=1) + 1.0) / 2.0
+
+    pow_mcs = mcs_arr**weights
+    pow_ssim = ssims_arr**weights
+    # Last-level ssim broadcast into every mcs column before the product —
+    # the reference's exact combination (metric.py:207).
+    return jnp.prod(pow_mcs[:, :-1] * pow_ssim[:, -1:], axis=1)
