@@ -1,0 +1,132 @@
+"""TriSpacePolyNet — the flagship model.
+
+An EfficientNetV2 backbone looks at the (masked, usually low-resolution)
+image and predicts per-space polynomial coefficients; the tri-space residual
+op applies them per pixel at any resolution. This is the TPU rebuild of the
+reference's live model `TriSpaceRegNet` (reference model.py:439-535) with
+its predict-on-low-res / apply-on-full-res hook: when `target_img` is given,
+coefficients come from `img` but the residual is generated on `target_img`
+(model.py:529-535).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Union
+
+import flax.linen as nn
+import jax
+from jax import Array
+
+from curl_tpu.models import backbone as bb
+from curl_tpu.ops import enhance, poly
+
+
+def _resolve_cfg(backbone: Union[str, bb.BackboneCfg]) -> bb.BackboneCfg:
+    return bb.CONFIGS[backbone] if isinstance(backbone, str) else backbone
+
+
+class TriSpacePolyNet(nn.Module):
+    """Predicts (3 spaces x 3 channels x num_coeffs) polynomial coefficients
+    and applies the tri-space residual.
+
+    Attributes:
+      polynomial_order: total degree of the per-space polynomial (default 4).
+      spatial: append normalized x,y coordinate planes as polynomial
+        variables (reference model.py:474-497; resolution-independent — no
+        max_resolution bound needed here).
+      backbone: a BackboneCfg or config name ("efficientnetv2_rw_t", ...).
+      bn_axis_name: mesh axis for cross-replica batch-norm statistics (the
+        SyncBatchNorm equivalent, reference model.py:457-458); None keeps
+        per-replica stats.
+      residual_impl: "xla" or "pallas" for the apply path.
+    """
+
+    polynomial_order: int = 4
+    spatial: bool = True
+    backbone: Union[str, bb.BackboneCfg] = "efficientnetv2_rw_t"
+    bn_axis_name: Optional[str] = None
+    residual_impl: str = "xla"
+
+    num_channels: int = 3
+    num_spaces: int = 3
+
+    @property
+    def num_in(self) -> int:
+        return self.num_channels + 2 * int(self.spatial)
+
+    @property
+    def num_coeffs(self) -> int:
+        return poly.num_monomials(self.polynomial_order, self.num_in)
+
+    def setup(self):
+        self.backbone_net = bb.EfficientNetV2(
+            _resolve_cfg(self.backbone), bn_axis_name=self.bn_axis_name
+        )
+        out_dim = self.num_spaces * self.num_channels * self.num_coeffs
+        # The reference's replaced classifier: 1024 -> 1024 -> 512 -> 512 ->
+        # out, bias-ful Linears with no activations (model.py:459-463).
+        self.head = bb.MLPHead((1024, 512, 512, out_dim))
+
+    def generate_coefficients(
+        self, img: Array, mask: Array, *, train: bool = False
+    ) -> tuple[Array, Array, Array]:
+        """Backbone over the masked image -> (R, L, H) coefficient stacks,
+        each (B, 3, num_coeffs) (reference model.py:522-527)."""
+        feats = self.backbone_net(img * mask.astype(img.dtype), train=train)
+        coeffs = self.head(feats).reshape(
+            img.shape[0], self.num_spaces, self.num_channels, self.num_coeffs
+        )
+        return coeffs[:, 0], coeffs[:, 1], coeffs[:, 2]
+
+    def __call__(
+        self,
+        img: Array,
+        mask: Array,
+        target_img: Optional[Array] = None,
+        *,
+        train: bool = False,
+        return_residual: bool = False,
+    ) -> Array:
+        """img: (B,h,w,3); mask: (B,h,w,1); target_img: optional (B,H,W,3)
+        full-resolution apply target. Returns the enhanced image (clamped
+        img+residual) or, with `return_residual`, the raw residual — the
+        reference's `is_train` switch (model.py:484,529-535) made an explicit
+        call argument."""
+        coeff_rgb, coeff_lab, coeff_hsv = self.generate_coefficients(img, mask, train=train)
+        apply_img = img if target_img is None else target_img
+        residual = enhance.trispace_residual(
+            apply_img,
+            coeff_rgb,
+            coeff_lab,
+            coeff_hsv,
+            degree=self.polynomial_order,
+            spatial=self.spatial,
+            impl=self.residual_impl,
+        )
+        if return_residual:
+            return residual
+        return enhance.generate_image(apply_img, residual)
+
+
+class PolyRegNet(nn.Module):
+    """Secondary single-space model: backbone -> linear -> per-channel
+    polynomial; output = sigmoid(poly(img)) * mask (reference
+    model.py:418-436)."""
+
+    polynomial_order: int = 4
+    backbone: Union[str, bb.BackboneCfg] = "efficientnetv2_rw_s"
+    bn_axis_name: Optional[str] = None
+    num_channels: int = 3
+
+    @nn.compact
+    def __call__(self, img: Array, mask: Array, *, train: bool = False) -> Array:
+        n = poly.num_monomials(self.polynomial_order, self.num_channels)
+        feats = bb.EfficientNetV2(
+            _resolve_cfg(self.backbone), bn_axis_name=self.bn_axis_name, name="backbone"
+        )(img, train=train)
+        coeffs = nn.Dense(self.num_channels * n, name="classifier")(feats)
+        coeffs = coeffs.reshape(img.shape[0], self.num_channels, n)
+        out = jax.nn.sigmoid(
+            poly.poly_apply(img, coeffs, degree=self.polynomial_order, num_out=self.num_channels)
+        )
+        return out * mask.astype(out.dtype)

@@ -1,0 +1,68 @@
+"""The tri-space enhancement hot path as a pure function.
+
+Given per-image polynomial coefficients for the RGB, Lab and HSV spaces,
+produce the enhancement residual (and optionally the composited image).
+This is the per-pixel compute that dominates both training and full-
+resolution inference (reference `TriSpaceRegNet.generate_residual`,
+model.py:499-515, and `generate_image`, model.py:517-520).
+
+Two interchangeable implementations:
+  * impl="xla": straightforward jax ops; XLA fuses the elementwise chains
+    and runs the 126-coefficient contraction on the MXU.
+  * impl="pallas": fully fused TPU kernel (curl_tpu.ops.pallas) that streams
+    image tiles through VMEM, never materializing the (B,H,W,126) monomial
+    tensor in HBM — unlike the reference, which does (model.py:319-321).
+Both are equivalence-tested against each other.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+
+from curl_tpu.ops import color, coords, poly
+
+
+def _space_residual(img_space: Array, cf: Array, degree: int, spatial: bool) -> Array:
+    x = coords.cat_coords(img_space) if spatial else img_space
+    return jax.nn.sigmoid(poly.poly_apply(x, cf, degree=degree, num_out=3))
+
+
+@partial(jax.jit, static_argnames=("degree", "spatial", "impl"))
+def trispace_residual(
+    img: Array,
+    coeff_rgb: Array,
+    coeff_lab: Array,
+    coeff_hsv: Array,
+    *,
+    degree: int = 4,
+    spatial: bool = True,
+    impl: str = "xla",
+) -> Array:
+    """Enhancement residual in [-3, 3]: (B,H,W,3) RGB + 3x (B,3,N) coeffs.
+
+    Per space: convert, (append coords), evaluate polynomial, sigmoid,
+    convert Lab/HSV results back to RGB, rescale each to [-1,1], and sum
+    (reference model.py:499-515).
+    """
+    if impl == "pallas":
+        from curl_tpu.ops.pallas import fused_trispace_residual
+
+        return fused_trispace_residual(
+            img, coeff_rgb, coeff_lab, coeff_hsv, degree=degree, spatial=spatial
+        )
+    rgb_res = _space_residual(img, coeff_rgb, degree, spatial)
+    lab_res = color.lab_to_rgb(_space_residual(color.rgb_to_lab(img), coeff_lab, degree, spatial))
+    hsv_res = color.hsv_to_rgb(_space_residual(color.rgb_to_hsv(img), coeff_hsv, degree, spatial))
+    return (
+        2.0 * (rgb_res - 0.5) + 2.0 * (lab_res - 0.5) + 2.0 * (hsv_res - 0.5)
+    )
+
+
+def generate_image(img: Array, residual: Array) -> Array:
+    """Composite the residual onto the input, clamped to the valid range
+    (reference model.py:517-520)."""
+    return jnp.clip(img + residual, 0.0, 1.0)

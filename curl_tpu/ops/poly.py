@@ -96,8 +96,39 @@ def monomial_basis(channels: Sequence[Array], degree: int) -> Array:
     return jnp.stack(terms, axis=-1)
 
 
-@partial(jax.jit, static_argnames=("degree", "num_out"))
-def poly_apply(img: Array, coeffs: Array, *, degree: int = 4, num_out: int = 3) -> Array:
+# Pixels processed per chunk when evaluating huge images. Bounds the
+# transient monomial-basis buffer to chunk * num_coeffs floats per batch row
+# (~128 MB fp32 for 2^18 pixels x 126 terms at batch 1) instead of
+# materializing (B, H, W, N) for the whole image — which is exactly what the
+# reference does (model.py:319-321) and what OOMs at high resolution.
+_DEFAULT_CHUNK = 1 << 18
+
+
+def _eval_flat(flat: Array, coeffs_t: Array, degree: int) -> Array:
+    """(B, P, V) pixels -> (B, P, num_out): build the monomial basis with
+    spatial dims flattened (keeps the stacked term axis minor-dim friendly:
+    (B, P, N) tiles cleanly, no 128x padding blowup) and contract on the
+    MXU."""
+    v = flat.shape[-1]
+    channels = [flat[..., i] for i in range(v)]
+    basis = monomial_basis(channels, degree)  # (B, P, N)
+    return jax.lax.dot_general(
+        basis,
+        coeffs_t,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+
+
+@partial(jax.jit, static_argnames=("degree", "num_out", "chunk_pixels"))
+def poly_apply(
+    img: Array,
+    coeffs: Array,
+    *,
+    degree: int = 4,
+    num_out: int = 3,
+    chunk_pixels: int = _DEFAULT_CHUNK,
+) -> Array:
     """Per-pixel polynomial transform with per-image coefficients.
 
     Args:
@@ -108,6 +139,8 @@ def poly_apply(img: Array, coeffs: Array, *, degree: int = 4, num_out: int = 3) 
         (model.py:295-333).
       degree: total polynomial degree.
       num_out: output channels.
+      chunk_pixels: evaluate at most this many pixels at a time (scanned),
+        bounding the transient basis buffer at high resolution.
 
     Returns:
       (B, H, W, num_out).
@@ -118,16 +151,21 @@ def poly_apply(img: Array, coeffs: Array, *, degree: int = 4, num_out: int = 3) 
         raise ValueError(
             f"coeffs must be (batch, {num_out}, {n}); got {coeffs.shape}"
         )
-    channels = [img[..., i] for i in range(v)]
-    basis = monomial_basis(channels, degree)  # (B, H, W, N)
-    # (B, HW, N) @ (B, N, num_out) -> MXU-friendly batched matmul.
-    flat = basis.reshape(b, h * w, n)
-    out = jax.lax.dot_general(
-        flat,
-        coeffs.transpose(0, 2, 1).astype(flat.dtype),
-        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )
+    flat = img.reshape(b, h * w, v)
+    coeffs_t = coeffs.transpose(0, 2, 1).astype(flat.dtype)
+
+    p = h * w
+    if p <= chunk_pixels:
+        out = _eval_flat(flat, coeffs_t, degree)
+    else:
+        n_chunks = -(-p // chunk_pixels)
+        padded = n_chunks * chunk_pixels
+        if padded != p:
+            flat = jnp.pad(flat, ((0, 0), (0, padded - p), (0, 0)))
+        # (chunks, B, chunk, V); scan keeps one chunk's basis live at a time.
+        chunked = flat.reshape(b, n_chunks, chunk_pixels, v).transpose(1, 0, 2, 3)
+        out = jax.lax.map(lambda x: _eval_flat(x, coeffs_t, degree), chunked)
+        out = out.transpose(1, 0, 2, 3).reshape(b, padded, num_out)[:, :p]
     return out.reshape(b, h, w, num_out).astype(img.dtype)
 
 
