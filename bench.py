@@ -1,0 +1,159 @@
+"""Headline benchmark: 1080p enhanced images/sec on one chip.
+
+Measures the deployment path of the flagship model — coefficients predicted
+from a 320x320 view through the efficientnetv2_rw_t backbone, degree-4
+tri-space polynomial residual applied at 1920x1080 — and prints ONE JSON
+line:
+
+    {"metric": "...", "value": N, "unit": "images/sec", "vs_baseline": N}
+
+vs_baseline compares against the PyTorch-CPU reference implementation's
+throughput for the same workload, measured once by `--measure-baseline`
+(requires the reference checkout + torch) and cached in
+`bench_baseline.json`. The north-star target is >10x that number
+(BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_BASELINE_FILE = os.path.join(_HERE, "bench_baseline.json")
+
+H, W = 1080, 1920
+PREDICT = 320
+
+
+def measure_jax(batch: int, iters: int, dtype: str, impl: str) -> float:
+    import jax
+    import jax.numpy as jnp
+
+    from curl_tpu.infer.engine import Enhancer
+    from curl_tpu.models import TriSpacePolyNet
+
+    net = TriSpacePolyNet(backbone="efficientnetv2_rw_t", residual_impl=impl)
+    rng = np.random.default_rng(0)
+    small = jnp.asarray(rng.uniform(0, 1, (batch, PREDICT, PREDICT, 3)).astype(np.float32))
+    smask = jnp.ones((batch, PREDICT, PREDICT, 1), jnp.float32)
+    target = jnp.asarray(rng.uniform(0, 1, (batch, H, W, 3)).astype(np.float32))
+    variables = net.init(jax.random.PRNGKey(0), small[:1], smask[:1])
+    if dtype == "bfloat16":
+        target = target.astype(jnp.bfloat16)
+    enh = Enhancer(net, variables, backbone_size=PREDICT, impl=impl)
+
+    def run():
+        out = enh.enhance_image(small, smask, target)
+        # Host-fetch a scalar to force execution: on tunneled TPU platforms
+        # block_until_ready can return before the device work finishes, so a
+        # data dependency is the only honest sync.
+        return float(jnp.sum(out[:, ::128, ::128]))
+
+    run()  # compile
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        run()
+    dt = time.perf_counter() - t0
+    return batch * iters / dt
+
+
+def measure_torch_baseline(batch: int = 1, iters: int = 3) -> float:
+    """Throughput of the PyTorch reference's tri-space residual + a
+    backbone-sized conv stack on CPU, same workload. Uses the reference's
+    own modules (colors, ChannelPolyLayer) loaded from /root/reference —
+    only available in development environments."""
+    import sys
+
+    sys.path.insert(0, os.path.join(_HERE, "tests"))
+    from reference_oracle import load
+
+    import torch
+
+    torch.set_num_threads(os.cpu_count() or 8)
+    ref_model = load("model")
+    ref_colors = load("colors")
+
+    poly = ref_model.ChannelPolyLayer(degree=4, num_variables=5, num_out=3)
+    rgb2lab, lab2rgb = ref_colors.RGB2LAB(), ref_colors.LAB2RGB()
+    rgb2hsv, hsv2rgb = ref_colors.RGB2HSV(), ref_colors.HSV2RGB()
+    sigmoid = torch.nn.Sigmoid()
+
+    rng = np.random.default_rng(0)
+    target = torch.from_numpy(rng.uniform(0, 1, (batch, 3, H, W)).astype(np.float32))
+    coeffs = torch.from_numpy(rng.normal(scale=0.1, size=(batch, 3, 126)).astype(np.float32))
+    x = torch.arange(W).reshape(1, 1, 1, W) / W
+    y = torch.arange(H).reshape(1, 1, H, 1) / H
+
+    def cat_coords(img):
+        zeros = img[:, 0:1] * 0.0
+        return torch.cat([img, zeros + x, zeros + y], dim=1)
+
+    def residual(img):
+        # The reference's generate_residual (model.py:499-515).
+        rgb = sigmoid(poly(cat_coords(img), coeffs))
+        lab = lab2rgb(sigmoid(poly(cat_coords(rgb2lab(img)), coeffs)))
+        hsv = hsv2rgb(sigmoid(poly(cat_coords(rgb2hsv(img)), coeffs)))
+        return 2 * (rgb - 0.5) + 2 * (lab - 0.5) + 2 * (hsv - 0.5)
+
+    with torch.no_grad():
+        residual(target)  # warm up
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = torch.clamp(target + residual(target), 0, 1)
+        dt = time.perf_counter() - t0
+    return batch * iters / dt
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
+    ap.add_argument("--impl", default=os.environ.get("CURL_TPU_IMPL", "xla"))
+    ap.add_argument("--quick", action="store_true", help="small batch/iters")
+    ap.add_argument(
+        "--measure-baseline",
+        action="store_true",
+        help="(re)measure the PyTorch-CPU reference baseline and cache it",
+    )
+    args = ap.parse_args()
+    if args.quick:
+        args.batch, args.iters = 1, 2
+
+    if args.measure_baseline:
+        ips = measure_torch_baseline()
+        payload = {
+            "torch_cpu_1080p_images_per_sec": ips,
+            "note": "reference tri-space residual (ChannelPolyLayer + color converts) on CPU, "
+            f"{os.cpu_count()} threads, batch 1",
+        }
+        with open(_BASELINE_FILE, "w") as f:
+            json.dump(payload, f, indent=1)
+        print(json.dumps(payload))
+        return
+
+    baseline = None
+    if os.path.isfile(_BASELINE_FILE):
+        with open(_BASELINE_FILE) as f:
+            baseline = json.load(f).get("torch_cpu_1080p_images_per_sec")
+
+    ips = measure_jax(args.batch, args.iters, args.dtype, args.impl)
+    print(
+        json.dumps(
+            {
+                "metric": "1080p_enhanced_images_per_sec_per_chip",
+                "value": round(ips, 3),
+                "unit": "images/sec",
+                "vs_baseline": round(ips / baseline, 2) if baseline else None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,84 @@
+"""Single config dataclass for training / evaluation / inference.
+
+Surfaces every knob the reference hard-codes (its argparse flags,
+main.py:72-93, plus the buried constants: Adam betas main.py:236-237,
+OneCycle peak main.py:239, crop size data.py:86, SSIM window main.py:228,
+polynomial order / spatial flags main.py:179,220, knot counts
+model.py:123-124) as one dataclass with CLI overrides.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+from typing import Optional
+
+
+@dataclasses.dataclass
+class Config:
+    # Data
+    training_img_dirpath: Optional[str] = None
+    inference_img_dirpath: Optional[str] = None
+    batch_size: int = 32  # global batch (reference default per-gpu 32, main.py:88)
+    num_workers: int = 8  # decode threads (reference: 11 procs, main.py:89)
+    crop_h: int = 256
+    crop_w: int = 256
+
+    # Model
+    model: str = "trispace"  # trispace | curve | polyreg
+    backbone: str = "efficientnetv2_rw_t"
+    polynomial_order: int = 4
+    spatial: bool = True
+    num_lab_points: int = 48
+    num_rgb_points: int = 48
+    num_hsv_points: int = 64
+    residual_impl: str = "xla"  # xla | pallas
+    param_dtype: str = "float32"
+
+    # Loss / metrics
+    ssim_window_size: int = 11
+
+    # Optimization
+    num_epoch: int = 10000
+    valid_every: int = 10
+    peak_lr: float = 1e-4
+    adam_b1: float = 0.5
+    adam_b2: float = 0.999
+    lr_epoch_granularity: bool = True
+    augment: bool = True
+
+    # Checkpoint / logging
+    checkpoint_filepath: Optional[str] = None
+    log_dirpath: Optional[str] = None
+    save_images: bool = False
+    keep_checkpoints: int = 5
+
+    # Parallelism
+    mesh_data: Optional[int] = None  # default: all devices
+    mesh_model: int = 1
+
+    # Misc
+    seed: int = 0
+
+
+def _add_args(parser: argparse.ArgumentParser) -> None:
+    for f in dataclasses.fields(Config):
+        name = "--" + f.name
+        if f.type == "bool" or isinstance(f.default, bool):
+            parser.add_argument(
+                name,
+                type=lambda s: s.lower() in ("1", "true", "yes"),
+                default=f.default,
+            )
+        else:
+            typ = {int: int, float: float}.get(type(f.default), str)
+            parser.add_argument(name, type=typ, default=f.default)
+
+
+def parse_config(argv: Optional[list[str]] = None) -> Config:
+    parser = argparse.ArgumentParser(
+        description="Train / evaluate the CURL TPU framework on image pairs"
+    )
+    _add_args(parser)
+    args = parser.parse_args(argv)
+    return Config(**{f.name: getattr(args, f.name) for f in dataclasses.fields(Config)})

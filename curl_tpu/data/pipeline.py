@@ -1,0 +1,155 @@
+"""Batched, prefetching input pipeline.
+
+Host side: threaded decode + paired crop (the cheap slicing); device side:
+`curl_tpu.data.augment` inside the jitted step. Replaces the reference's
+torch DataLoader + worker processes (reference main.py:212-218) with a
+thread pool (PIL decode releases the GIL) and double-buffered host->device
+prefetch.
+
+Multi-host sharding: each process loads only its shard of every global
+batch (`process_index`/`process_count`), and `shard_batch` assembles a
+global device array from process-local data — the single-controller JAX
+replacement for torch's DistributedSampler (reference main.py:212-218).
+"""
+
+from __future__ import annotations
+
+import collections
+import concurrent.futures as cf
+import itertools
+from typing import Iterator, Optional, Sequence
+
+import jax
+import numpy as np
+
+from curl_tpu.data import dataset as ds
+
+
+class Loader:
+    """Iterates dicts of stacked numpy arrays.
+
+    Args:
+      records: examples (from `dataset.select_records`).
+      batch_size: *global* batch size (divided across processes).
+      crop: (H, W) crop applied host-side; random w/ pad-if-needed when
+        `train`, center otherwise (reference data.py:101-108).
+      train: random crops + reshuffling each epoch.
+      seed: shuffle/crop seed.
+      drop_last: drop the trailing partial batch (always true for train so
+        jitted shapes stay static).
+      num_threads: decode thread pool size (reference default 11 workers,
+        main.py:89).
+      process_index/process_count: this host's shard of the global batch.
+    """
+
+    def __init__(
+        self,
+        records: Sequence[ds.Record],
+        batch_size: int,
+        crop: Optional[tuple[int, int]] = (256, 256),
+        train: bool = False,
+        seed: int = 0,
+        drop_last: Optional[bool] = None,
+        num_threads: int = 8,
+        process_index: Optional[int] = None,
+        process_count: Optional[int] = None,
+    ):
+        self.records = list(records)
+        self.global_batch = batch_size
+        self.crop = crop
+        self.train = train
+        self.seed = seed
+        self.drop_last = train if drop_last is None else drop_last
+        self.num_threads = num_threads
+        self.process_index = (
+            jax.process_index() if process_index is None else process_index
+        )
+        self.process_count = (
+            jax.process_count() if process_count is None else process_count
+        )
+        if batch_size % self.process_count:
+            raise ValueError(
+                f"global batch {batch_size} not divisible by process count {self.process_count}"
+            )
+        self.local_batch = batch_size // self.process_count
+        self.epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.records)
+        return n // self.global_batch if self.drop_last else -(-n // self.global_batch)
+
+    def set_epoch(self, epoch: int) -> None:
+        """Reshuffle deterministically per epoch (role of
+        DistributedSampler.set_epoch, reference main.py:263-264)."""
+        self.epoch = epoch
+
+    def _epoch_order(self) -> np.ndarray:
+        idx = np.arange(len(self.records))
+        if self.train:
+            np.random.default_rng((self.seed, self.epoch)).shuffle(idx)
+        return idx
+
+    def __iter__(self) -> Iterator[dict[str, np.ndarray]]:
+        order = self._epoch_order()
+        n_batches = len(self)
+        crop_rng = (
+            np.random.default_rng((self.seed, self.epoch, 1)) if self.train else None
+        )
+
+        def load_one(global_idx: int, pos: int) -> dict[str, np.ndarray]:
+            rec = self.records[global_idx % len(self.records)]
+            ex = ds.load_example(rec)
+            if self.crop is not None:
+                # Per-example deterministic crop rng; thread-safe by
+                # derivation from position, not shared state.
+                rng = (
+                    np.random.default_rng((self.seed, self.epoch, 2, pos))
+                    if self.train
+                    else None
+                )
+                ex = ds.crop_pair(ex, self.crop[0], self.crop[1], rng)
+            return ex
+
+        with cf.ThreadPoolExecutor(self.num_threads) as pool:
+            for b in range(n_batches):
+                start = b * self.global_batch + self.process_index * self.local_batch
+                positions = range(start, start + self.local_batch)
+                # Trailing partial batch (eval only): wrap around, matching
+                # fixed shapes; callers see `count` for correct averaging.
+                idxs = [order[p] if p < len(order) else order[p % len(order)] for p in positions]
+                examples = list(pool.map(load_one, idxs, positions))
+                valid = sum(1 for p in positions if p < len(order))
+                batch = {
+                    k: np.stack([ex[k] for ex in examples])
+                    for k in ("input_img", "output_img", "mask")
+                }
+                batch["name"] = [ex["name"] for ex in examples]
+                batch["valid_count"] = np.asarray(valid, np.int32)
+                yield batch
+
+
+def prefetch(iterator: Iterator, size: int = 2) -> Iterator:
+    """Software pipeline: keep `size` batches in flight ahead of the
+    consumer (host->device copy overlap)."""
+    queue = collections.deque()
+    it = iter(iterator)
+    for item in itertools.islice(it, size):
+        queue.append(item)
+    while queue:
+        yield queue.popleft()
+        try:
+            queue.append(next(it))
+        except StopIteration:
+            pass
+
+
+def shard_batch(batch: dict, sharding) -> dict:
+    """Assemble global device arrays from process-local numpy shards
+    (jax.make_array_from_process_local_data under the hood)."""
+    out = {}
+    for k, v in batch.items():
+        if isinstance(v, np.ndarray) and v.ndim > 0:
+            out[k] = jax.make_array_from_process_local_data(sharding, v)
+        else:
+            out[k] = v
+    return out

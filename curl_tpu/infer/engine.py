@@ -1,0 +1,127 @@
+"""Inference engine: predict-on-low-res, apply-on-full-res, tiled 4K+.
+
+The deployment-time workflow of the reference's `infer.py`: the backbone
+sees a small (e.g. 320x320) crop to predict the 1134 coefficients, and the
+polynomial transform is applied at arbitrary resolution
+(reference infer.py:32-47, model.py:529-535). The transform is constant-size
+regardless of image size, so this scales to any resolution; `tile_rows`
+streams the apply in row bands (with globally-normalized coordinates) to
+bound HBM at very high resolutions — the pixel-space analog of sequence
+parallelism.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import Array
+
+from curl_tpu.models.trispace import TriSpacePolyNet
+from curl_tpu.ops import enhance
+
+
+class Enhancer:
+    """Wraps a trained TriSpacePolyNet for deployment-style inference."""
+
+    def __init__(
+        self,
+        model: TriSpacePolyNet,
+        variables,
+        backbone_size: int = 320,
+        impl: str = "xla",
+    ):
+        self.model = model
+        self.variables = variables
+        self.backbone_size = backbone_size
+        self.impl = impl
+        self._coeff_fn = jax.jit(
+            lambda v, img, mask: model.apply(
+                v, img, mask, method=model.generate_coefficients
+            )
+        )
+
+    def coefficients(self, img_small: Array, mask_small: Array):
+        """(B, s, s, 3), (B, s, s, 1) -> (R, L, H) each (B, 3, N)."""
+        return self._coeff_fn(self.variables, img_small, mask_small)
+
+    def residual(
+        self,
+        target: Array,
+        coeffs,
+        tile_rows: Optional[int] = None,
+    ) -> Array:
+        """Apply coefficients at target resolution, optionally in row bands."""
+        r, l, h = coeffs
+        b, height, width, _ = target.shape
+        kw = dict(
+            degree=self.model.polynomial_order,
+            spatial=self.model.spatial,
+            impl=self.impl,
+        )
+        if tile_rows is None or tile_rows >= height:
+            return enhance.trispace_residual(target, r, l, h, **kw)
+        bands = []
+        for y0 in range(0, height, tile_rows):
+            rows = min(tile_rows, height - y0)
+            band = target[:, y0 : y0 + rows]
+            if rows < tile_rows:
+                band = jnp.pad(band, ((0, 0), (0, tile_rows - rows), (0, 0), (0, 0)))
+            res = enhance.trispace_residual(
+                band, r, l, h, tile=(y0, 0, height, width), **kw
+            )
+            bands.append(res[:, :rows])
+        return jnp.concatenate(bands, axis=1)
+
+    def enhance_image(
+        self,
+        img_small: Array,
+        mask_small: Array,
+        target: Array,
+        target_mask: Optional[Array] = None,
+        tile_rows: Optional[int] = None,
+        white_background: bool = False,
+    ) -> Array:
+        """Full deployment path: coefficients from the small view, residual
+        at target resolution, clamped composite; optional white-background
+        matte like the mobile app (reference infer.py:44-47)."""
+        coeffs = self.coefficients(img_small, mask_small)
+        residual = self.residual(target, coeffs, tile_rows=tile_rows)
+        out = enhance.generate_image(target, residual)
+        if white_background and target_mask is not None:
+            m = target_mask.astype(out.dtype)
+            out = out * m + (1.0 - m)
+        return out
+
+
+def resize_shorter_side(img: np.ndarray, size: int) -> np.ndarray:
+    """PIL bilinear resize of the shorter side to `size`, preserving aspect
+    (torchvision Resize([size]) semantics, reference infer.py:32)."""
+    from PIL import Image
+
+    h, w = img.shape[:2]
+    if h <= w:
+        nh, nw = size, max(1, round(w * size / h))
+    else:
+        nh, nw = max(1, round(h * size / w)), size
+    arr = np.clip(img * 255.0, 0, 255).astype(np.uint8) if img.dtype != np.uint8 else img
+    mode = "L" if arr.ndim == 2 else None
+    out = Image.fromarray(arr.squeeze() if arr.ndim == 3 and arr.shape[2] == 1 else arr, mode)
+    out = out.resize((nw, nh), Image.BILINEAR)
+    res = np.asarray(out, np.float32) / 255.0
+    if img.ndim == 3 and res.ndim == 2:
+        res = res[..., None]
+    return res
+
+
+def center_crop(img: np.ndarray, size: int) -> np.ndarray:
+    h, w = img.shape[:2]
+    top, left = max(0, (h - size) // 2), max(0, (w - size) // 2)
+    out = img[top : top + size, left : left + size]
+    if out.shape[0] < size or out.shape[1] < size:
+        pads = ((0, size - out.shape[0]), (0, size - out.shape[1])) + ((0, 0),) * (img.ndim - 2)
+        out = np.pad(out, pads)
+    return out

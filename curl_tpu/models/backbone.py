@@ -118,18 +118,17 @@ def _torch_same_pad(kernel: int, stride: int) -> list[tuple[int, int]]:
     return [(p, p), (p, p)]
 
 
-class _BN(nn.Module):
-    axis_name: Optional[str] = None
-
-    @nn.compact
-    def __call__(self, x: Array, train: bool) -> Array:
-        return nn.BatchNorm(
-            use_running_average=not train,
-            momentum=_BN_MOMENTUM,
-            epsilon=_BN_EPS,
-            axis_name=self.axis_name if train else None,
-            dtype=x.dtype,
-        )(x)
+def _bn(x: Array, train: bool, axis_name: Optional[str], name: str) -> Array:
+    """BatchNorm child registered on the calling module's scope (keeps param
+    paths flat: <block>/<name>/{scale,bias} + batch_stats mean/var)."""
+    return nn.BatchNorm(
+        use_running_average=not train,
+        momentum=_BN_MOMENTUM,
+        epsilon=_BN_EPS,
+        axis_name=axis_name if train else None,
+        dtype=x.dtype,
+        name=name,
+    )(x)
 
 
 class SqueezeExcite(nn.Module):
@@ -165,7 +164,7 @@ class ConvBnAct(nn.Module):
             name="conv",
             dtype=x.dtype,
         )(x)
-        x = _BN(self.bn_axis_name, name="bn")(x, train)
+        x = _bn(x, train, self.bn_axis_name, "bn")
         x = nn.silu(x)
         if self.stride == 1 and shortcut.shape[-1] == x.shape[-1]:
             x = x + shortcut
@@ -194,10 +193,10 @@ class EdgeResidual(nn.Module):
             name="conv_exp",
             dtype=x.dtype,
         )(x)
-        x = _BN(self.bn_axis_name, name="bn1")(x, train)
+        x = _bn(x, train, self.bn_axis_name, "bn1")
         x = nn.silu(x)
         x = nn.Conv(self.cfg.channels, (1, 1), use_bias=False, name="conv_pwl", dtype=x.dtype)(x)
-        x = _BN(self.bn_axis_name, name="bn2")(x, train)
+        x = _bn(x, train, self.bn_axis_name, "bn2")
         if self.stride == 1 and shortcut.shape[-1] == x.shape[-1]:
             x = x + shortcut
         return x
@@ -217,7 +216,7 @@ class InvertedResidual(nn.Module):
         mid = in_ch * self.cfg.expand
         k = self.cfg.kernel
         x = nn.Conv(mid, (1, 1), use_bias=False, name="conv_pw", dtype=x.dtype)(x)
-        x = _BN(self.bn_axis_name, name="bn1")(x, train)
+        x = _bn(x, train, self.bn_axis_name, "bn1")
         x = nn.silu(x)
         x = nn.Conv(
             mid,
@@ -229,12 +228,12 @@ class InvertedResidual(nn.Module):
             name="conv_dw",
             dtype=x.dtype,
         )(x)
-        x = _BN(self.bn_axis_name, name="bn2")(x, train)
+        x = _bn(x, train, self.bn_axis_name, "bn2")
         x = nn.silu(x)
         if self.cfg.se_ratio > 0:
             x = SqueezeExcite(max(1, int(in_ch * self.cfg.se_ratio)), name="se")(x)
         x = nn.Conv(self.cfg.channels, (1, 1), use_bias=False, name="conv_pwl", dtype=x.dtype)(x)
-        x = _BN(self.bn_axis_name, name="bn3")(x, train)
+        x = _bn(x, train, self.bn_axis_name, "bn3")
         if self.stride == 1 and shortcut.shape[-1] == x.shape[-1]:
             x = x + shortcut
         return x
@@ -262,7 +261,7 @@ class EfficientNetV2(nn.Module):
             name="stem_conv",
             dtype=x.dtype,
         )(x)
-        x = _BN(self.bn_axis_name, name="stem_bn")(x, train)
+        x = _bn(x, train, self.bn_axis_name, "stem_bn")
         x = nn.silu(x)
         for si, stage in enumerate(c.blocks):
             block_cls = _BLOCKS[stage.kind]
@@ -275,7 +274,7 @@ class EfficientNetV2(nn.Module):
                     name=f"stage{si}_block{bi}",
                 )(x, train)
         x = nn.Conv(c.num_features, (1, 1), use_bias=False, name="head_conv", dtype=x.dtype)(x)
-        x = _BN(self.bn_axis_name, name="head_bn")(x, train)
+        x = _bn(x, train, self.bn_axis_name, "head_bn")
         x = nn.silu(x)
         return jnp.mean(x, axis=(1, 2))
 

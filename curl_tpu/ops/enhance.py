@@ -26,12 +26,24 @@ from jax import Array
 from curl_tpu.ops import color, coords, poly
 
 
-def _space_residual(img_space: Array, cf: Array, degree: int, spatial: bool) -> Array:
-    x = coords.cat_coords(img_space) if spatial else img_space
+def _space_residual(
+    img_space: Array, cf: Array, degree: int, spatial: bool, tile: tuple
+) -> Array:
+    if spatial:
+        row0, col0, th, tw = tile
+        x = coords.cat_coords(
+            img_space,
+            row_offset=row0,
+            col_offset=col0,
+            total_height=th,
+            total_width=tw,
+        )
+    else:
+        x = img_space
     return jax.nn.sigmoid(poly.poly_apply(x, cf, degree=degree, num_out=3))
 
 
-@partial(jax.jit, static_argnames=("degree", "spatial", "impl"))
+@partial(jax.jit, static_argnames=("degree", "spatial", "impl", "tile"))
 def trispace_residual(
     img: Array,
     coeff_rgb: Array,
@@ -41,22 +53,33 @@ def trispace_residual(
     degree: int = 4,
     spatial: bool = True,
     impl: str = "xla",
+    tile: tuple = None,
 ) -> Array:
     """Enhancement residual in [-3, 3]: (B,H,W,3) RGB + 3x (B,3,N) coeffs.
 
     Per space: convert, (append coords), evaluate polynomial, sigmoid,
     convert Lab/HSV results back to RGB, rescale each to [-1,1], and sum
     (reference model.py:499-515).
+
+    `tile`: optional (row_offset, col_offset, total_h, total_w) identifying
+    this image as a tile of a larger one — the coordinate planes then use
+    global positions so tiled apply matches whole-image apply exactly.
     """
+    if tile is None:
+        tile = (0, 0, img.shape[1], img.shape[2])
     if impl == "pallas":
         from curl_tpu.ops.pallas import fused_trispace_residual
 
         return fused_trispace_residual(
-            img, coeff_rgb, coeff_lab, coeff_hsv, degree=degree, spatial=spatial
+            img, coeff_rgb, coeff_lab, coeff_hsv, degree=degree, spatial=spatial, tile=tile
         )
-    rgb_res = _space_residual(img, coeff_rgb, degree, spatial)
-    lab_res = color.lab_to_rgb(_space_residual(color.rgb_to_lab(img), coeff_lab, degree, spatial))
-    hsv_res = color.hsv_to_rgb(_space_residual(color.rgb_to_hsv(img), coeff_hsv, degree, spatial))
+    rgb_res = _space_residual(img, coeff_rgb, degree, spatial, tile)
+    lab_res = color.lab_to_rgb(
+        _space_residual(color.rgb_to_lab(img), coeff_lab, degree, spatial, tile)
+    )
+    hsv_res = color.hsv_to_rgb(
+        _space_residual(color.rgb_to_hsv(img), coeff_hsv, degree, spatial, tile)
+    )
     return (
         2.0 * (rgb_res - 0.5) + 2.0 * (lab_res - 0.5) + 2.0 * (hsv_res - 0.5)
     )

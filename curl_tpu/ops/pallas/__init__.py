@@ -1,0 +1,3 @@
+"""Fused Pallas TPU kernels (acceleration layer over the XLA ops)."""
+
+from curl_tpu.ops.pallas.trispace_kernel import fused_trispace_residual  # noqa: F401

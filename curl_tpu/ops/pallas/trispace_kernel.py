@@ -1,0 +1,194 @@
+"""Fused tri-space polynomial residual as a single Pallas TPU kernel.
+
+One grid step processes a (SUB, 128) tile of flattened pixels entirely in
+VMEM: RGB -> Lab/HSV conversion, normalized coordinate generation, the full
+126-monomial degree-4 polynomial per space (incremental chain — one multiply
+per monomial), the 9 coefficient contractions as scalar-broadcast FMAs on
+the VPU, sigmoid, Lab/HSV -> RGB back-conversion, and the residual sum.
+Nothing but the input tile, the coefficients and the output tile ever
+touches HBM — the (H, W, 126) monomial tensor the reference materializes
+(/root/reference/model.py:319-321) never exists.
+
+Layout: planar (B, 3, P/128, 128) — pixel index is flattened (row-major)
+so W need not be a multiple of 128; x/y coordinates are recovered from the
+flat index arithmetically. The per-space (3, num_coeffs) coefficient
+matrices ride along in SMEM and are read as scalars (broadcast against the
+tile) inside the unrolled chain.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import Array
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from curl_tpu.ops import color_planes as cp
+from curl_tpu.ops import poly
+
+SUBLANES = 32  # rows per tile; 32x128 = 4096 pixels per grid step
+LANES = 128
+
+
+def _chain_eval(vars5, coeff_read, degree, num_vars, acc_init):
+    """Evaluate the polynomial for 3 output channels over one tile.
+
+    vars5: tuple of V planes. coeff_read(c, k) -> scalar. Returns 3 planes.
+    Monomials are built by the incremental chain (parent * variable); Python
+    lists hold the live planes, Mosaic's liveness analysis keeps only
+    parents of not-yet-emitted monomials in VMEM.
+    """
+    chain = poly.monomial_chain(degree, num_vars)
+    ones = jnp.ones_like(vars5[0])
+    monos = [ones]
+    accs = list(acc_init)
+    for c in range(3):
+        accs[c] = accs[c] + coeff_read(c, 0)  # constant term
+    for k, (parent, var) in enumerate(chain, start=1):
+        m = monos[parent] * vars5[var]
+        monos.append(m)
+        for c in range(3):
+            accs[c] = accs[c] + coeff_read(c, k) * m
+    return accs
+
+
+def _make_kernel(degree: int, spatial: bool, width: int, height: int,
+                 row_offset: int, total_h: int, total_w: int, out_dtype):
+    num_vars = 3 + 2 * int(spatial)
+
+    def kernel(coeff_ref, img_ref, out_ref):
+        pid = pl.program_id(1)
+        r = img_ref[0, 0].astype(jnp.float32)
+        g = img_ref[0, 1].astype(jnp.float32)
+        b = img_ref[0, 2].astype(jnp.float32)
+
+        if spatial:
+            base = pid * (SUBLANES * LANES)
+            idx = (
+                base
+                + jax.lax.broadcasted_iota(jnp.int32, (SUBLANES, LANES), 0) * LANES
+                + jax.lax.broadcasted_iota(jnp.int32, (SUBLANES, LANES), 1)
+            )
+            col = idx % width
+            row = idx // width + row_offset
+            xplane = col.astype(jnp.float32) / total_w
+            yplane = row.astype(jnp.float32) / total_h
+            coords = (xplane, yplane)
+        else:
+            coords = ()
+
+        res_r = jnp.zeros_like(r)
+        res_g = jnp.zeros_like(r)
+        res_b = jnp.zeros_like(r)
+        zero = jnp.zeros_like(r)
+
+        for space in range(3):
+            if space == 0:
+                planes = (r, g, b)
+            elif space == 1:
+                planes = cp.lab_from_rgb(r, g, b)
+            else:
+                planes = cp.hsv_from_rgb(r, g, b)
+
+            def coeff_read(c, k, _s=space):
+                return coeff_ref[0, _s * 3 + c, k]
+
+            o0, o1, o2 = _chain_eval(
+                planes + coords, coeff_read, degree, num_vars, (zero, zero, zero)
+            )
+            o0 = jax.nn.sigmoid(o0)
+            o1 = jax.nn.sigmoid(o1)
+            o2 = jax.nn.sigmoid(o2)
+            if space == 1:
+                o0, o1, o2 = cp.rgb_from_lab(o0, o1, o2)
+            elif space == 2:
+                o0, o1, o2 = cp.rgb_from_hsv(o0, o1, o2)
+            res_r = res_r + 2.0 * (o0 - 0.5)
+            res_g = res_g + 2.0 * (o1 - 0.5)
+            res_b = res_b + 2.0 * (o2 - 0.5)
+
+        out_ref[0, 0] = res_r.astype(out_dtype)
+        out_ref[0, 1] = res_g.astype(out_dtype)
+        out_ref[0, 2] = res_b.astype(out_dtype)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("degree", "spatial", "tile")
+)
+def fused_trispace_residual(
+    img: Array,
+    coeff_rgb: Array,
+    coeff_lab: Array,
+    coeff_hsv: Array,
+    *,
+    degree: int = 4,
+    spatial: bool = True,
+    tile: Optional[tuple] = None,
+) -> Array:
+    """Drop-in fused equivalent of the XLA `trispace_residual` path.
+
+    img: (B, H, W, 3); coeffs: (B, 3, N) each. `tile` = (row_offset,
+    col_offset, total_h, total_w) for row-band tiling (col_offset must be 0
+    and the band must span the full width).
+    """
+    b, h, w, _ = img.shape
+    if tile is None:
+        tile = (0, 0, h, w)
+    row0, col0, th, tw = tile
+    if col0 != 0 or tw != w:
+        raise NotImplementedError(
+            "pallas path tiles over full-width row bands only"
+        )
+    n = poly.num_monomials(degree, 3 + 2 * int(spatial))
+    for name, c in (("rgb", coeff_rgb), ("lab", coeff_lab), ("hsv", coeff_hsv)):
+        if c.shape != (b, 3, n):
+            raise ValueError(f"coeff_{name} must be {(b, 3, n)}; got {c.shape}")
+
+    p = h * w
+    block_px = SUBLANES * LANES
+    blocks = -(-p // block_px)
+    padded = blocks * block_px
+
+    # NHWC -> planar flattened (B, 3, rows, 128).
+    planar = img.transpose(0, 3, 1, 2).reshape(b, 3, p)
+    if padded != p:
+        planar = jnp.pad(planar, ((0, 0), (0, 0), (0, padded - p)))
+    planar = planar.reshape(b, 3, padded // LANES, LANES)
+
+    coeffs = jnp.concatenate([coeff_rgb, coeff_lab, coeff_hsv], axis=1)  # (B, 9, N)
+    coeffs = coeffs.astype(jnp.float32)
+
+    kernel = _make_kernel(degree, spatial, w, h, row0, th, tw, img.dtype)
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, blocks),
+        in_specs=[
+            pl.BlockSpec((1, 9, n), lambda bi, i: (bi, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (1, 3, SUBLANES, LANES),
+                lambda bi, i: (bi, 0, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 3, SUBLANES, LANES),
+            lambda bi, i: (bi, 0, i, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, 3, padded // LANES, LANES), img.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=int(b * padded * 3 * (2 * n * 3 + n + 200)),
+            bytes_accessed=int(b * padded * 3 * 2 * img.dtype.itemsize),
+            transcendentals=int(b * padded * 24),
+        ),
+    )(coeffs, planar)
+
+    out = out.reshape(b, 3, padded)[:, :, :p].reshape(b, 3, h, w)
+    return out.transpose(0, 2, 3, 1)

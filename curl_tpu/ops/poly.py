@@ -112,11 +112,18 @@ def _eval_flat(flat: Array, coeffs_t: Array, degree: int) -> Array:
     v = flat.shape[-1]
     channels = [flat[..., i] for i in range(v)]
     basis = monomial_basis(channels, degree)  # (B, P, N)
+    # fp32 inputs get true-fp32 contraction (TPU MXU would otherwise run
+    # bf16 passes, costing ~3 decimal digits); lower precisions keep the
+    # fast default.
+    precision = (
+        jax.lax.Precision.HIGHEST if basis.dtype == jnp.float32 else None
+    )
     return jax.lax.dot_general(
         basis,
         coeffs_t,
         dimension_numbers=(((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
+        precision=precision,
     )
 
 
@@ -155,7 +162,9 @@ def poly_apply(
     coeffs_t = coeffs.transpose(0, 2, 1).astype(flat.dtype)
 
     p = h * w
-    if p <= chunk_pixels:
+    # Symbolic dims (jax.export shape polymorphism) can't be compared against
+    # the chunk bound; export paths take the unchunked branch.
+    if not isinstance(p, int) or p <= chunk_pixels:
         out = _eval_flat(flat, coeffs_t, degree)
     else:
         n_chunks = -(-p // chunk_pixels)

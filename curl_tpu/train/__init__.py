@@ -1,0 +1,12 @@
+"""Training / evaluation drivers (L4 of the framework)."""
+
+from curl_tpu.train import checkpoint  # noqa: F401
+from curl_tpu.train.loop import Evaluator, Trainer, build_model  # noqa: F401
+from curl_tpu.train.state import (  # noqa: F401
+    TrainState,
+    create_train_state,
+    make_optimizer,
+    onecycle_schedule,
+    param_count,
+)
+from curl_tpu.train.steps import make_eval_step, make_train_step, summarize_eval  # noqa: F401

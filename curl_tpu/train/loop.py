@@ -1,0 +1,231 @@
+"""Training driver and evaluator.
+
+The L4 layer: wires data loaders, the jitted steps, the mesh, logging/
+TensorBoard, validation and checkpointing into the same workflow as the
+reference's `main.py` training loop (reference main.py:199-340) and
+`Evaluator` (evaluate.py:29-139) — minus the per-rank plumbing, which the
+single-controller mesh design makes unnecessary.
+"""
+
+from __future__ import annotations
+
+import datetime
+import logging
+import os
+import time
+from typing import Optional
+
+import jax
+import numpy as np
+
+from curl_tpu.config import Config
+from curl_tpu.data import pipeline
+from curl_tpu.models import CurlCurveNet, PolyRegNet, TriSpacePolyNet
+from curl_tpu.parallel import mesh as mesh_lib
+from curl_tpu.train import checkpoint as ckpt_lib
+from curl_tpu.train import state as state_lib
+from curl_tpu.train import steps as steps_lib
+
+log = logging.getLogger("curl_tpu")
+
+
+def build_model(cfg: Config):
+    if cfg.model == "trispace":
+        return TriSpacePolyNet(
+            polynomial_order=cfg.polynomial_order,
+            spatial=cfg.spatial,
+            backbone=cfg.backbone,
+            residual_impl=cfg.residual_impl,
+        )
+    if cfg.model == "curve":
+        return CurlCurveNet(
+            num_lab_points=cfg.num_lab_points,
+            num_rgb_points=cfg.num_rgb_points,
+            num_hsv_points=cfg.num_hsv_points,
+            backbone=cfg.backbone,
+        )
+    if cfg.model == "polyreg":
+        return PolyRegNet(polynomial_order=cfg.polynomial_order, backbone=cfg.backbone)
+    raise ValueError(f"unknown model {cfg.model!r}")
+
+
+def setup_logging(log_dirpath: Optional[str]) -> str:
+    """Console + (process-0) file logging under a timestamped directory
+    (reference main.py:127-138)."""
+    if log_dirpath is None:
+        ts = datetime.datetime.now().strftime("%Y-%m-%d_%H-%M-%S")
+        log_dirpath = f"./log_{ts}"
+    handlers: list[logging.Handler] = [logging.StreamHandler()]
+    if jax.process_index() == 0:
+        os.makedirs(log_dirpath, exist_ok=True)
+        handlers.append(logging.FileHandler(os.path.join(log_dirpath, "curl.log")))
+    logging.basicConfig(
+        level=logging.INFO,
+        format="%(asctime)s %(levelname)s %(message)s",
+        handlers=handlers,
+        force=True,
+    )
+    return log_dirpath
+
+
+def save_images(batch_out: np.ndarray, names: list[str], out_dir: str) -> None:
+    """Dump enhanced images as 8-bit files (role of reference
+    evaluate.py:50-66)."""
+    from PIL import Image
+
+    os.makedirs(out_dir, exist_ok=True)
+    for i, name in enumerate(names):
+        arr = np.clip(np.asarray(batch_out[i]) * 255.0, 0, 255).astype(np.uint8)
+        Image.fromarray(arr).save(os.path.join(out_dir, name))
+
+
+class Evaluator:
+    """Split-agnostic evaluation loop (reference evaluate.py:29-139):
+    per-image loss/PSNR/MS-SSIM reduced on device, optional image dump."""
+
+    def __init__(self, cfg: Config, loader: pipeline.Loader, split_name: str, log_dirpath: str):
+        self.cfg = cfg
+        self.loader = loader
+        self.split_name = split_name
+        self.log_dirpath = log_dirpath
+        self.eval_step = steps_lib.make_eval_step(cfg.ssim_window_size)
+
+    def evaluate(self, trainstate, epoch: int = 0, save_outputs: bool = False, sharding=None):
+        totals: dict[str, float] = {}
+        for batch in pipeline.prefetch(iter(self.loader)):
+            names = batch.pop("name")
+            if sharding is not None:
+                batch = pipeline.shard_batch(batch, sharding)
+            stats = self.eval_step(trainstate, batch)
+            enhanced = stats.pop("enhanced")
+            for k, v in stats.items():
+                totals[k] = totals.get(k, 0.0) + float(v)
+            if save_outputs and jax.process_index() == 0:
+                n_valid = int(batch["valid_count"])
+                out_dir = os.path.join(self.log_dirpath, self.split_name, str(epoch + 1))
+                save_images(np.asarray(enhanced)[:n_valid], names[:n_valid], out_dir)
+        summary = steps_lib.summarize_eval(totals)
+        log.info(
+            "loss_%s: %.5f psnr_%s: %.3f msssim_%s: %.3f",
+            self.split_name, summary["loss"],
+            self.split_name, summary["psnr"],
+            self.split_name, summary["msssim"],
+        )
+        return summary
+
+
+class Trainer:
+    def __init__(self, cfg: Config, train_records, valid_records, log_dirpath: Optional[str] = None):
+        self.cfg = cfg
+        self.log_dirpath = setup_logging(log_dirpath or cfg.log_dirpath)
+        if cfg.mesh_data is not None:
+            self.mesh = mesh_lib.make_mesh(data=cfg.mesh_data, model=cfg.mesh_model)
+        else:
+            self.mesh = mesh_lib.auto_mesh(cfg.batch_size, model=cfg.mesh_model)
+        self.batch_sharding = mesh_lib.batch_sharding(self.mesh)
+        self.replicated = mesh_lib.replicated(self.mesh)
+
+        self.train_loader = pipeline.Loader(
+            train_records,
+            batch_size=cfg.batch_size,
+            crop=(cfg.crop_h, cfg.crop_w),
+            train=True,
+            seed=cfg.seed,
+            num_threads=cfg.num_workers,
+        )
+        self.valid_loader = pipeline.Loader(
+            valid_records,
+            batch_size=cfg.batch_size,
+            crop=(cfg.crop_h, cfg.crop_w),
+            train=False,
+            num_threads=cfg.num_workers,
+        )
+
+        self.model = build_model(cfg)
+        steps_per_epoch = max(1, len(self.train_loader))
+        schedule = state_lib.onecycle_schedule(
+            cfg.num_epoch,
+            steps_per_epoch,
+            peak_lr=cfg.peak_lr,
+            epoch_granularity=cfg.lr_epoch_granularity,
+        )
+        self.schedule = schedule
+        tx = state_lib.make_optimizer(schedule, cfg.adam_b1, cfg.adam_b2)
+
+        sample = np.zeros((1, cfg.crop_h, cfg.crop_w, 3), np.float32)
+        sample_mask = np.ones((1, cfg.crop_h, cfg.crop_w, 1), np.float32)
+        self.state = state_lib.create_train_state(
+            self.model, jax.random.PRNGKey(cfg.seed), sample, sample_mask, tx
+        )
+        self.state = mesh_lib.shard_pytree(self.state, self.replicated)
+        self.start_epoch = 0
+
+        ckpt_dir = os.path.join(self.log_dirpath, "checkpoints")
+        self.ckpt_dir = ckpt_dir
+        if cfg.checkpoint_filepath:
+            self.state, self.start_epoch = ckpt_lib.restore(cfg.checkpoint_filepath, self.state)
+            log.info("restored checkpoint %s at epoch %d", cfg.checkpoint_filepath, self.start_epoch)
+
+        self.train_step = steps_lib.make_train_step(
+            ssim_window=cfg.ssim_window_size, augment=cfg.augment
+        )
+        self.evaluator = Evaluator(cfg, self.valid_loader, "valid", self.log_dirpath)
+        self.writer = self._make_writer()
+        log.info("params: %.2fM", state_lib.param_count(self.state) / 1e6)
+
+    def _make_writer(self):
+        if jax.process_index() != 0:
+            return None
+        try:
+            from tensorboardX import SummaryWriter
+
+            return SummaryWriter(logdir=os.path.join(self.log_dirpath, "tb"))
+        except ImportError:
+            return None
+
+    def fit(self) -> None:
+        cfg = self.cfg
+        rng = jax.random.PRNGKey(cfg.seed + 1)
+        examples_seen = self.start_epoch * len(self.train_loader) * cfg.batch_size
+        for epoch in range(self.start_epoch, cfg.num_epoch):
+            self.train_loader.set_epoch(epoch)
+            t0 = time.time()
+            epoch_loss, batches = 0.0, 0
+            for batch in pipeline.prefetch(iter(self.train_loader)):
+                batch.pop("name")
+                batch.pop("valid_count")
+                batch = pipeline.shard_batch(batch, self.batch_sharding)
+                rng, step_key = jax.random.split(rng)
+                self.state, stats = self.train_step(self.state, batch, step_key)
+                loss = float(stats["loss"])
+                epoch_loss += loss
+                batches += 1
+                examples_seen += cfg.batch_size
+                if self.writer:
+                    self.writer.add_scalar("Loss/train", loss, examples_seen)
+            mean_loss = epoch_loss / max(batches, 1)
+            dt = time.time() - t0
+            log.info(
+                "[%d] train loss: %.15f (%.1f img/s, lr %.3g)",
+                epoch + 1,
+                mean_loss,
+                batches * cfg.batch_size / max(dt, 1e-9),
+                float(self.schedule(int(self.state.step))),
+            )
+            if self.writer:
+                self.writer.add_scalar("Loss/train_smooth", mean_loss, epoch + 1)
+
+            if (epoch + 1) % cfg.valid_every == 0:
+                summary = self.evaluator.evaluate(
+                    self.state, epoch, save_outputs=cfg.save_images,
+                    sharding=self.batch_sharding,
+                )
+                path = ckpt_lib.save(
+                    self.ckpt_dir,
+                    self.state,
+                    epoch + 1,
+                    summary["psnr"],
+                    summary["loss"],
+                    keep=cfg.keep_checkpoints,
+                )
+                log.info("saved checkpoint %s", path)

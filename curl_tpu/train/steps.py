@@ -1,0 +1,109 @@
+"""Jitted train / eval steps.
+
+One compiled program per step: device-side augmentation, forward, loss,
+backward, optimizer update. Batch inputs arrive sharded over the mesh's
+"data" axis and parameters replicated, so GSPMD turns the loss/gradient
+reductions into ICI all-reduces — there is no separate "DDP wrapper"
+(contrast reference main.py:222-225,287). Metric reductions likewise happen
+on device inside the step (contrast the reference's CPU
+`all_gather_object`, main.py:299-303, evaluate.py:122-131).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+
+from curl_tpu.data import augment as aug
+from curl_tpu.models import losses, metrics
+
+
+def make_train_step(ssim_window: int = 11, augment: bool = True) -> Callable:
+    """Returns jitted `train_step(state, batch, key) -> (state, stats)`.
+    `batch` holds device arrays input_img/output_img/mask."""
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def train_step(state, batch, key):
+        inp, out, mask = batch["input_img"], batch["output_img"], batch["mask"]
+        if augment:
+            inp, out, mask = aug.augment_batch(inp, out, mask, key)
+
+        def loss_fn(params):
+            enhanced, updates = state.apply_fn(
+                {"params": params, "batch_stats": state.batch_stats},
+                inp,
+                mask,
+                train=True,
+                mutable=["batch_stats"],
+            )
+            loss = losses.curl_loss(enhanced, out, mask, ssim_window_size=ssim_window)
+            return loss, updates
+
+        (loss, updates), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        new_state = state.apply_gradients(grads, updates["batch_stats"])
+        return new_state, {"loss": loss}
+
+    return train_step
+
+
+def _per_image_loss(enhanced, target, mask, ssim_window):
+    """Per-image CURL loss via a batch-1 vmap, so partial final batches can
+    be reduced exactly (the reference instead averaged per-batch losses,
+    evaluate.py:107-139)."""
+
+    def one(e, t, m):
+        return losses.curl_loss(e[None], t[None], m[None], ssim_window_size=ssim_window)
+
+    return jax.vmap(one)(enhanced, target, mask)
+
+
+def make_eval_step(ssim_window: int = 11) -> Callable:
+    """Returns jitted `eval_step(state, batch) -> stats-sums`. Stats are
+    weighted by per-example validity (wrapped padding examples in the last
+    partial batch excluded) and summed — global sums under GSPMD, so the
+    caller just accumulates scalars."""
+
+    @jax.jit
+    def eval_step(state, batch):
+        inp, out, mask = batch["input_img"], batch["output_img"], batch["mask"]
+        valid_count = batch["valid_count"]
+        b = inp.shape[0]
+        valid = (jnp.arange(b) < valid_count).astype(jnp.float32)
+
+        enhanced = state.apply_fn(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            inp,
+            mask,
+            train=False,
+        )
+        loss_i = _per_image_loss(enhanced, out, mask, ssim_window)
+        psnr_i = metrics.psnr_per_image(out, enhanced, mask)
+        psnr_ok = valid * jnp.isfinite(psnr_i).astype(jnp.float32)
+        msssim_i = jax.vmap(
+            lambda e, t, m: metrics.masked_ms_ssim(e[None], t[None], m[None])
+        )(enhanced, out, mask)
+
+        return {
+            "loss_sum": jnp.sum(loss_i * valid),
+            "psnr_sum": jnp.sum(jnp.where(psnr_ok > 0, psnr_i, 0.0)),
+            "psnr_count": jnp.sum(psnr_ok),
+            "msssim_sum": jnp.sum(msssim_i * valid),
+            "count": jnp.sum(valid),
+            "enhanced": enhanced,
+        }
+
+    return eval_step
+
+
+def summarize_eval(totals: dict[str, float]) -> dict[str, float]:
+    """Batch-accumulated sums -> mean metrics."""
+    n = max(totals.get("count", 0.0), 1e-9)
+    np_ = max(totals.get("psnr_count", 0.0), 1e-9)
+    return {
+        "loss": totals.get("loss_sum", 0.0) / n,
+        "psnr": totals.get("psnr_sum", 0.0) / np_,
+        "msssim": totals.get("msssim_sum", 0.0) / n,
+    }

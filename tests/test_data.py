@@ -1,0 +1,169 @@
+"""Data pipeline tests on a synthesized mini-dataset."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from curl_tpu import data as cdata
+
+
+@pytest.fixture(scope="module")
+def mini_dataset(tmp_path_factory):
+    """A 6-image paired dataset with masks and split files, written as PNGs
+    with both integer and Adobe-style ids."""
+    from PIL import Image
+
+    root = tmp_path_factory.mktemp("adobe_mini")
+    for d in ("train_input", "train_output", "train_mask"):
+        (root / d).mkdir()
+    rng = np.random.default_rng(0)
+    names = ["1", "2", "3", "a0004", "a0005", "a0006"]
+    for i, name in enumerate(names):
+        h, w = 40 + 8 * i, 56 + 4 * i  # deliberately varied sizes
+        arr = (rng.uniform(0, 255, (h, w, 3))).astype(np.uint8)
+        out = np.clip(arr.astype(np.int32) + 20, 0, 255).astype(np.uint8)
+        mask = (rng.uniform(size=(h, w)) < 0.9).astype(np.uint8) * 255
+        Image.fromarray(arr).save(root / "train_input" / f"{name}.png")
+        Image.fromarray(out).save(root / "train_output" / f"{name}.png")
+        Image.fromarray(mask).save(root / "train_mask" / f"{name}.png")
+    (root / "images_train.txt").write_text("\n".join(names[:4]) + "\n")
+    (root / "images_valid.txt").write_text("\n".join(names[4:]) + "\n")
+    return root
+
+
+class TestDataset:
+    def test_scan_and_split(self, mini_dataset):
+        records = cdata.scan_data_dir(mini_dataset)
+        assert len(records) == 6
+        ids = cdata.read_split_ids(mini_dataset / "images_train.txt")
+        recs = cdata.select_records(records, ids)
+        assert [r.key for r in recs] == ["1", "2", "3", "a0004"]
+
+    def test_unknown_id_raises(self, mini_dataset):
+        records = cdata.scan_data_dir(mini_dataset)
+        with pytest.raises(KeyError, match="zzz"):
+            cdata.select_records(records, ["zzz"])
+
+    def test_load_example(self, mini_dataset):
+        records = cdata.scan_data_dir(mini_dataset)
+        ex = cdata.load_example(records["1"])
+        assert ex["input_img"].shape == (40, 56, 3)
+        assert ex["input_img"].dtype == np.float32
+        assert 0.0 <= ex["input_img"].min() and ex["input_img"].max() <= 1.0
+        assert ex["mask"].shape == (40, 56, 1)
+        assert set(np.unique(ex["mask"])) <= {0.0, 1.0}
+
+    def test_mask_optional(self, tmp_path):
+        from PIL import Image
+
+        (tmp_path / "x_input").mkdir()
+        (tmp_path / "x_output").mkdir()
+        img = Image.fromarray(np.zeros((8, 8, 3), np.uint8))
+        img.save(tmp_path / "x_input" / "1.png")
+        img.save(tmp_path / "x_output" / "1.png")
+        records = cdata.scan_data_dir(tmp_path)
+        ex = cdata.load_example(records["1"])
+        assert (ex["mask"] == 1.0).all()
+
+    def test_crop_random_and_center(self, mini_dataset):
+        records = cdata.scan_data_dir(mini_dataset)
+        ex = cdata.load_example(records["1"])  # 40x56, smaller than 64 crop
+        rng = np.random.default_rng(0)
+        cropped = cdata.crop_pair(ex, 64, 64, rng)  # pad-if-needed path
+        assert cropped["input_img"].shape == (64, 64, 3)
+        center = cdata.crop_pair(ex, 32, 32)
+        assert center["input_img"].shape == (32, 32, 3)
+        # Center crop of a deterministic region: same every time.
+        again = cdata.crop_pair(ex, 32, 32)
+        np.testing.assert_array_equal(center["input_img"], again["input_img"])
+
+
+class TestAugment:
+    def test_pair_transforms_identically(self, rng):
+        b, s = 2, 32
+        inp = rng.uniform(0, 1, (b, s, s, 3)).astype(np.float32)
+        mask = np.ones((b, s, s, 1), np.float32)
+        a_in, a_out, a_mask = cdata.augment_batch(
+            jnp.asarray(inp), jnp.asarray(inp), jnp.asarray(mask), jax.random.PRNGKey(0)
+        )
+        # input == output in, so they must stay equal out.
+        np.testing.assert_array_equal(np.asarray(a_in), np.asarray(a_out))
+        # Mask stays binary.
+        assert set(np.unique(np.asarray(a_mask))) <= {0.0, 1.0}
+
+    def test_rotation_zero_is_identity(self, rng):
+        img = jnp.asarray(rng.uniform(0, 1, (16, 16, 7)).astype(np.float32))
+        out = cdata.rotate_nearest(img, jnp.asarray(0.0))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(img), atol=1e-6)
+
+    def test_rotation_180_flips_both_axes(self, rng):
+        img = jnp.asarray(rng.uniform(0, 1, (17, 17, 1)).astype(np.float32))
+        out = cdata.rotate_nearest(img, jnp.asarray(np.pi))
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(img)[::-1, ::-1], atol=1e-5
+        )
+
+    def test_rotation_fills_corners_with_zero(self, rng):
+        img = jnp.ones((32, 32, 1), jnp.float32)
+        out = np.asarray(cdata.rotate_nearest(img, jnp.asarray(np.pi / 4)))
+        assert out[0, 0, 0] == 0.0 and out[-1, -1, 0] == 0.0
+        assert out[16, 16, 0] == 1.0
+
+    def test_distinct_keys_give_distinct_augs(self, rng):
+        inp = jnp.asarray(rng.uniform(0, 1, (1, 32, 32, 3)).astype(np.float32))
+        mask = jnp.ones((1, 32, 32, 1), jnp.float32)
+        a1, *_ = cdata.augment_batch(inp, inp, mask, jax.random.PRNGKey(1))
+        a2, *_ = cdata.augment_batch(inp, inp, mask, jax.random.PRNGKey(2))
+        assert float(jnp.abs(a1 - a2).max()) > 0
+
+
+class TestLoader:
+    def test_batches_and_shapes(self, mini_dataset):
+        records = cdata.scan_data_dir(mini_dataset)
+        recs = cdata.select_records(
+            records, cdata.read_split_ids(mini_dataset / "images_train.txt")
+        )
+        loader = cdata.Loader(recs, batch_size=2, crop=(32, 32), train=True, seed=1)
+        batches = list(loader)
+        assert len(batches) == 2  # 4 train examples / batch 2
+        for b in batches:
+            assert b["input_img"].shape == (2, 32, 32, 3)
+            assert b["mask"].shape == (2, 32, 32, 1)
+            assert len(b["name"]) == 2
+
+    def test_epoch_reshuffle(self, mini_dataset):
+        records = cdata.scan_data_dir(mini_dataset)
+        recs = cdata.select_records(
+            records, cdata.read_split_ids(mini_dataset / "images_train.txt")
+        )
+        loader = cdata.Loader(recs, batch_size=4, crop=(16, 16), train=True, seed=1)
+        loader.set_epoch(0)
+        names0 = [n for b in loader for n in b["name"]]
+        loader.set_epoch(3)
+        names3 = [n for b in loader for n in b["name"]]
+        assert sorted(names0) == sorted(names3)
+        assert names0 != names3  # reshuffled
+
+    def test_eval_partial_batch_wraps_with_count(self, mini_dataset):
+        records = cdata.scan_data_dir(mini_dataset)
+        recs = cdata.select_records(records, ["1", "2", "3"])
+        loader = cdata.Loader(recs, batch_size=2, crop=(16, 16), train=False)
+        batches = list(loader)
+        assert len(batches) == 2
+        assert int(batches[0]["valid_count"]) == 2
+        assert int(batches[1]["valid_count"]) == 1
+
+    def test_process_sharding_partitions_batch(self, mini_dataset):
+        records = cdata.scan_data_dir(mini_dataset)
+        recs = cdata.select_records(records, ["1", "2", "3", "a0004"])
+        shards = []
+        for pi in range(2):
+            loader = cdata.Loader(
+                recs, batch_size=4, crop=(16, 16), train=False,
+                process_index=pi, process_count=2,
+            )
+            shards.append(next(iter(loader)))
+        names = shards[0]["name"] + shards[1]["name"]
+        assert sorted(names) == sorted(f"{r.key}.png" for r in recs)

@@ -1,0 +1,94 @@
+"""Export-layer tests: torch checkpoint conversion round-trip and StableHLO
+export/reload."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from curl_tpu.export import stablehlo, torch_convert
+from curl_tpu.models import TriSpacePolyNet
+from curl_tpu.models import backbone as bb
+
+
+@pytest.fixture(scope="module")
+def tiny_variables():
+    net = TriSpacePolyNet(backbone="tiny")
+    img = jnp.zeros((1, 32, 32, 3))
+    mask = jnp.ones((1, 32, 32, 1))
+    return net, net.init(jax.random.PRNGKey(0), img, mask)
+
+
+class TestTorchConvert:
+    def test_roundtrip_preserves_forward(self, tiny_variables, rng):
+        """export -> torch-style dict -> convert back must reproduce the
+        exact same forward output."""
+        net, variables = tiny_variables
+        sd = torch_convert.export_trispace_state_dict(variables, bb.TINY)
+        assert "backbone.conv_stem.weight" in sd
+        assert sd["backbone.conv_stem.weight"].shape[0] == bb.TINY.stem_channels  # OIHW
+
+        restored = torch_convert.convert_trispace_state_dict(
+            sd, backbone_cfg=bb.TINY, polynomial_order=4, num_in=5
+        )
+        img = jnp.asarray(rng.uniform(0, 1, (1, 32, 32, 3)).astype(np.float32))
+        mask = jnp.ones((1, 32, 32, 1), jnp.float32)
+        out_orig = net.apply(variables, img, mask)
+        out_conv = net.apply(restored, img, mask)
+        np.testing.assert_allclose(np.asarray(out_conv), np.asarray(out_orig), atol=1e-6)
+
+    def test_ddp_prefix_stripped(self, tiny_variables):
+        net, variables = tiny_variables
+        sd = torch_convert.export_trispace_state_dict(variables, bb.TINY)
+        wrapped = {"module." + k: v for k, v in sd.items()}
+        restored = torch_convert.convert_trispace_state_dict(
+            wrapped, backbone_cfg=bb.TINY
+        )
+        assert "backbone_net" in restored["params"]
+
+    def test_missing_keys_reported(self, tiny_variables):
+        net, variables = tiny_variables
+        sd = torch_convert.export_trispace_state_dict(variables, bb.TINY)
+        del sd["backbone.conv_stem.weight"]
+        del sd["backbone.bn2.running_mean"]
+        with pytest.raises(ValueError, match="conv_stem"):
+            torch_convert.convert_trispace_state_dict(sd, backbone_cfg=bb.TINY)
+
+    def test_unexpected_keys_reported(self, tiny_variables):
+        net, variables = tiny_variables
+        sd = torch_convert.export_trispace_state_dict(variables, bb.TINY)
+        sd["backbone.blocks.9.9.conv.weight"] = np.zeros((1, 1, 1, 1), np.float32)
+        with pytest.raises(ValueError, match="unconsumed"):
+            torch_convert.convert_trispace_state_dict(sd, backbone_cfg=bb.TINY)
+
+    def test_powers_buffer_validated(self, tiny_variables):
+        from curl_tpu.ops import poly
+
+        net, variables = tiny_variables
+        sd = torch_convert.export_trispace_state_dict(variables, bb.TINY)
+        sd["polylayer.powers"] = poly.powers_array(4, 5).astype(np.float32)
+        torch_convert.convert_trispace_state_dict(sd, backbone_cfg=bb.TINY)  # ok
+        sd["polylayer.powers"] = sd["polylayer.powers"][::-1].copy()
+        with pytest.raises(ValueError, match="powers"):
+            torch_convert.convert_trispace_state_dict(sd, backbone_cfg=bb.TINY)
+
+
+class TestStableHLO:
+    def test_export_save_load_run(self, tiny_variables, rng, tmp_path):
+        net, variables = tiny_variables
+        exported = stablehlo.export_enhancer(net, variables, backbone_size=32)
+        assert "stablehlo" in stablehlo.stablehlo_text(exported)
+
+        path = str(tmp_path / "enhancer.stablehlo")
+        stablehlo.save(exported, path)
+        reloaded = stablehlo.load(path)
+
+        img = jnp.asarray(rng.uniform(0, 1, (1, 32, 32, 3)).astype(np.float32))
+        mask = jnp.ones((1, 32, 32, 1), jnp.float32)
+        # Variable target dims: run the same artifact at two resolutions.
+        for h, w in [(48, 40), (64, 72)]:
+            target = jnp.asarray(rng.uniform(0, 1, (1, h, w, 3)).astype(np.float32))
+            out = reloaded.call(img, mask, target)
+            direct = net.apply(variables, img, mask, target)
+            np.testing.assert_allclose(np.asarray(out), np.asarray(direct), atol=1e-5)

@@ -1,0 +1,91 @@
+"""Pallas fused-kernel tests (interpret mode on CPU) and plane-math
+equivalence."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.experimental.pallas import tpu as pltpu
+
+from curl_tpu.ops import color, color_planes, enhance
+from curl_tpu.ops.pallas import fused_trispace_residual
+
+
+def _coeffs(rng, b=1, n=126):
+    return [
+        jnp.asarray(rng.normal(scale=0.2, size=(b, 3, n)).astype(np.float32))
+        for _ in range(3)
+    ]
+
+
+class TestColorPlanes:
+    @pytest.mark.parametrize(
+        "plane_fn,nhwc_fn",
+        [
+            (color_planes.lab_from_rgb, color.rgb_to_lab),
+            (color_planes.rgb_from_lab, color.lab_to_rgb),
+            (color_planes.hsv_from_rgb, color.rgb_to_hsv),
+            (color_planes.rgb_from_hsv, color.hsv_to_rgb),
+        ],
+    )
+    def test_matches_nhwc(self, rng, plane_fn, nhwc_fn):
+        img = rng.uniform(0, 1, (2, 8, 16, 3)).astype(np.float32)
+        planes = plane_fn(*(jnp.asarray(img[..., i]) for i in range(3)))
+        stacked = np.stack([np.asarray(p) for p in planes], axis=-1)
+        expected = np.asarray(nhwc_fn(jnp.asarray(img)))
+        np.testing.assert_allclose(stacked, expected, atol=1e-5)
+
+
+class TestFusedKernel:
+    def test_matches_xla_path(self, rng):
+        img = jnp.asarray(rng.uniform(0, 1, (2, 24, 40, 3)).astype(np.float32))
+        cs = _coeffs(rng, b=2)
+        ref = enhance.trispace_residual(img, *cs, impl="xla")
+        with pltpu.force_tpu_interpret_mode():
+            got = fused_trispace_residual(img, *cs)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+    def test_non_spatial(self, rng):
+        img = jnp.asarray(rng.uniform(0, 1, (1, 16, 16, 3)).astype(np.float32))
+        cs = _coeffs(rng, n=35)
+        ref = enhance.trispace_residual(img, *cs, spatial=False, impl="xla")
+        with pltpu.force_tpu_interpret_mode():
+            got = fused_trispace_residual(img, *cs, spatial=False)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+    def test_row_band_tile(self, rng):
+        """Kernel with a tile offset must reproduce the corresponding band
+        of the whole-image result."""
+        img = jnp.asarray(rng.uniform(0, 1, (1, 64, 48, 3)).astype(np.float32))
+        cs = _coeffs(rng)
+        with pltpu.force_tpu_interpret_mode():
+            whole = fused_trispace_residual(img, *cs)
+            band = fused_trispace_residual(
+                img[:, 16:48], *cs, tile=(16, 0, 64, 48)
+            )
+        np.testing.assert_allclose(
+            np.asarray(band), np.asarray(whole)[:, 16:48], atol=1e-6
+        )
+
+    def test_odd_sizes_pad_correctly(self, rng):
+        # 17x23 = 391 pixels, far from a multiple of 4096.
+        img = jnp.asarray(rng.uniform(0, 1, (1, 17, 23, 3)).astype(np.float32))
+        cs = _coeffs(rng)
+        ref = enhance.trispace_residual(img, *cs, impl="xla")
+        with pltpu.force_tpu_interpret_mode():
+            got = fused_trispace_residual(img, *cs)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=5e-5)
+
+    def test_bad_coeff_shape_raises(self, rng):
+        img = jnp.zeros((1, 16, 16, 3))
+        good = _coeffs(rng)
+        bad = jnp.zeros((1, 3, 100))
+        with pytest.raises(ValueError, match="coeff_lab"):
+            fused_trispace_residual(img, good[0], bad, good[2])
+
+    def test_column_tiling_rejected(self, rng):
+        img = jnp.zeros((1, 16, 16, 3))
+        cs = _coeffs(rng)
+        with pytest.raises(NotImplementedError):
+            fused_trispace_residual(img, *cs, tile=(0, 8, 16, 32))

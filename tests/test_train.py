@@ -1,0 +1,149 @@
+"""Training-layer tests: state/optimizer, jitted steps, schedule parity,
+checkpoint round-trip, and the data-parallel path on an 8-device CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from curl_tpu import models
+from curl_tpu.parallel import mesh as mesh_lib
+from curl_tpu.train import checkpoint as ckpt_lib
+from curl_tpu.train import state as state_lib
+from curl_tpu.train import steps as steps_lib
+
+
+def _make_state(tx=None):
+    model = models.TriSpacePolyNet(backbone="tiny")
+    if tx is None:
+        tx = state_lib.make_optimizer(state_lib.onecycle_schedule(10, 2))
+    img = np.zeros((1, 32, 32, 3), np.float32)
+    mask = np.ones((1, 32, 32, 1), np.float32)
+    return state_lib.create_train_state(model, jax.random.PRNGKey(0), img, mask, tx)
+
+
+def _batch(rng, b=2, s=32):
+    return {
+        "input_img": jnp.asarray(rng.uniform(0, 1, (b, s, s, 3)).astype(np.float32)),
+        "output_img": jnp.asarray(rng.uniform(0, 1, (b, s, s, 3)).astype(np.float32)),
+        "mask": jnp.ones((b, s, s, 1), jnp.float32),
+        "valid_count": jnp.asarray(b, jnp.int32),
+    }
+
+
+class TestSchedule:
+    def test_matches_torch_onecycle_per_epoch(self):
+        torch = pytest.importorskip("torch")
+
+        num_epochs = 50
+        sched = state_lib.onecycle_schedule(num_epochs, steps_per_epoch=7, peak_lr=1e-4)
+        p = torch.nn.Parameter(torch.zeros(1))
+        opt = torch.optim.Adam([p], lr=5e-7)
+        t_sched = torch.optim.lr_scheduler.OneCycleLR(opt, max_lr=1e-4, total_steps=num_epochs)
+        for epoch in range(num_epochs):
+            t_lr = opt.param_groups[0]["lr"]
+            # Our schedule is indexed by global step; epoch granularity means
+            # any step within the epoch sees the same lr.
+            j_lr = float(sched(epoch * 7 + 3))
+            np.testing.assert_allclose(j_lr, t_lr, rtol=1e-5)
+            opt.step()
+            t_sched.step()
+
+
+class TestTrainStep:
+    def test_loss_decreases(self, rng):
+        state = _make_state()
+        step = steps_lib.make_train_step(augment=False)
+        batch = _batch(rng)
+        losses = []
+        for i in range(8):
+            state, stats = step(state, dict(batch), jax.random.PRNGKey(i))
+            losses.append(float(stats["loss"]))
+        assert losses[-1] < losses[0]
+
+    def test_augmented_step_runs(self, rng):
+        state = _make_state()
+        step = steps_lib.make_train_step(augment=True)
+        state, stats = step(state, _batch(rng), jax.random.PRNGKey(0))
+        assert np.isfinite(float(stats["loss"]))
+
+    def test_eval_step_stats(self, rng):
+        state = _make_state()
+        estep = steps_lib.make_eval_step()
+        batch = _batch(rng, b=4)
+        batch["valid_count"] = jnp.asarray(3, jnp.int32)  # one padded example
+        stats = estep(state, batch)
+        assert float(stats["count"]) == 3.0
+        assert stats["enhanced"].shape == (4, 32, 32, 3)
+        summary = steps_lib.summarize_eval({k: float(v) for k, v in stats.items() if k != "enhanced"})
+        assert np.isfinite(summary["loss"]) and np.isfinite(summary["psnr"])
+
+
+class TestDataParallel:
+    def test_train_step_on_8_device_mesh(self, rng):
+        mesh = mesh_lib.local_mesh_cpu(8)
+        state = _make_state()
+        state = mesh_lib.shard_pytree(state, mesh_lib.replicated(mesh))
+        bsh = mesh_lib.batch_sharding(mesh)
+        step = steps_lib.make_train_step(augment=False)
+        batch = {
+            k: jax.device_put(v, bsh) if hasattr(v, "ndim") and v.ndim > 0 else v
+            for k, v in _batch(rng, b=8).items()
+        }
+        state, stats = step(state, batch, jax.random.PRNGKey(0))
+        assert np.isfinite(float(stats["loss"]))
+        # Params stay replicated after the update.
+        leaf = jax.tree_util.tree_leaves(state.params)[0]
+        assert leaf.sharding.is_fully_replicated
+
+    def test_dp_matches_single_device(self, rng):
+        # The sharded step must compute the same update as the unsharded one.
+        mesh = mesh_lib.local_mesh_cpu(8)
+        batch = _batch(rng, b=8)
+        step = steps_lib.make_train_step(augment=False)
+
+        state1 = _make_state()
+        state1, stats1 = step(state1, dict(batch), jax.random.PRNGKey(0))
+
+        state2 = _make_state()
+        state2 = mesh_lib.shard_pytree(state2, mesh_lib.replicated(mesh))
+        sharded = {
+            k: jax.device_put(v, mesh_lib.batch_sharding(mesh))
+            if hasattr(v, "ndim") and v.ndim > 0
+            else v
+            for k, v in batch.items()
+        }
+        state2, stats2 = step(state2, sharded, jax.random.PRNGKey(0))
+        np.testing.assert_allclose(float(stats1["loss"]), float(stats2["loss"]), rtol=1e-5)
+        l1 = jax.tree_util.tree_leaves(state1.params)[0]
+        l2 = jax.tree_util.tree_leaves(state2.params)[0]
+        np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), atol=1e-5)
+
+
+class TestCheckpoint:
+    def test_roundtrip(self, rng, tmp_path):
+        state = _make_state()
+        step = steps_lib.make_train_step(augment=False)
+        state, _ = step(state, _batch(rng), jax.random.PRNGKey(0))
+        path = ckpt_lib.save(str(tmp_path), state, epoch=3, valid_psnr=21.5, valid_loss=0.08)
+        assert "validpsnr_21.500" in path
+
+        template = _make_state()
+        restored, start_epoch = ckpt_lib.restore(path, template)
+        assert start_epoch == 3
+        assert int(restored.step) == int(state.step)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(state.params),
+            jax.tree_util.tree_leaves(restored.params),
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_latest_and_prune(self, rng, tmp_path):
+        state = _make_state()
+        for e in range(4):
+            ckpt_lib.save(str(tmp_path), state, epoch=e + 1, valid_psnr=20.0 + e,
+                          valid_loss=0.1, keep=2)
+        entries = ckpt_lib.list_checkpoints(str(tmp_path))
+        assert len(entries) == 2
+        assert ckpt_lib.latest_checkpoint(str(tmp_path)).endswith("epoch_4")
