@@ -34,6 +34,7 @@ class Config:
     num_hsv_points: int = 64
     residual_impl: str = "xla"  # xla | pallas
     param_dtype: str = "float32"
+    compute_dtype: str = "float32"  # float32 | bfloat16 (backbone fast mode)
 
     # Loss / metrics
     ssim_window_size: int = 11
@@ -49,7 +50,9 @@ class Config:
 
     # Checkpoint / logging
     checkpoint_filepath: Optional[str] = None
+    auto_resume: bool = False  # resume from newest checkpoint in log dir
     log_dirpath: Optional[str] = None
+    profile_dir: Optional[str] = None  # jax.profiler trace output
     save_images: bool = False
     keep_checkpoints: int = 5
 

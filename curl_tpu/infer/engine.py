@@ -62,6 +62,18 @@ class Enhancer:
             spatial=self.model.spatial,
             impl=self.impl,
         )
+        if self.impl == "pallas" and b > 1:
+            # One kernel program per image: large fused grids destabilize the
+            # tunneled worker, and per-image launches (outside jit) keep the
+            # full fused-kernel throughput at any batch size.
+            return jnp.concatenate(
+                [
+                    self.residual(target[i : i + 1], (r[i : i + 1], l[i : i + 1], h[i : i + 1]),
+                                  tile_rows=tile_rows)
+                    for i in range(b)
+                ],
+                axis=0,
+            )
         if tile_rows is None or tile_rows >= height:
             return enhance.trispace_residual(target, r, l, h, **kw)
         bands = []

@@ -15,6 +15,7 @@ from typing import Optional, Union
 
 import flax.linen as nn
 import jax
+import jax.numpy as jnp
 from jax import Array
 
 from curl_tpu.models import backbone as bb
@@ -46,6 +47,8 @@ class TriSpacePolyNet(nn.Module):
     backbone: Union[str, bb.BackboneCfg] = "efficientnetv2_rw_t"
     bn_axis_name: Optional[str] = None
     residual_impl: str = "xla"
+    compute_dtype: str = "float32"  # backbone compute dtype; bfloat16 halves
+    # conv time on the MXU while coefficients and the residual stay fp32
 
     num_channels: int = 3
     num_spaces: int = 3
@@ -72,8 +75,9 @@ class TriSpacePolyNet(nn.Module):
     ) -> tuple[Array, Array, Array]:
         """Backbone over the masked image -> (R, L, H) coefficient stacks,
         each (B, 3, num_coeffs) (reference model.py:522-527)."""
-        feats = self.backbone_net(img * mask.astype(img.dtype), train=train)
-        coeffs = self.head(feats).reshape(
+        x = (img * mask.astype(img.dtype)).astype(self.compute_dtype)
+        feats = self.backbone_net(x, train=train)
+        coeffs = self.head(feats).astype(jnp.float32).reshape(
             img.shape[0], self.num_spaces, self.num_channels, self.num_coeffs
         )
         return coeffs[:, 0], coeffs[:, 1], coeffs[:, 2]

@@ -34,6 +34,13 @@ from curl_tpu.ops import poly
 SUBLANES = 32  # rows per tile; 32x128 = 4096 pixels per grid step
 LANES = 128
 
+# Empirical stability bound for the tunneled v5e worker: programs whose total
+# kernel grid exceeds ~512 steps (e.g. 4 x 1080p images in one jit) crash the
+# TPU worker process. Above this the wrapper transparently falls back to the
+# XLA implementation; callers wanting full fused throughput at scale launch
+# per-image outside jit (see infer.Enhancer.residual).
+MAX_GRID_STEPS = 600
+
 
 def _chain_eval(vars5, coeff_read, degree, num_vars, acc_init):
     """Evaluate the polynomial for 3 output channels over one tile.
@@ -119,6 +126,97 @@ def _make_kernel(degree: int, spatial: bool, width: int, height: int,
     return kernel
 
 
+def _fused_forward(
+    img: Array,
+    coeff_rgb: Array,
+    coeff_lab: Array,
+    coeff_hsv: Array,
+    degree: int,
+    spatial: bool,
+    tile: tuple,
+) -> Array:
+    b, h, w, _ = img.shape
+    row0, col0, th, tw = tile
+    n = poly.num_monomials(degree, 3 + 2 * int(spatial))
+
+    p = h * w
+    block_px = SUBLANES * LANES
+    blocks = -(-p // block_px)
+    padded = blocks * block_px
+
+    # NHWC -> planar flattened (B, 3, rows, 128).
+    planar = img.transpose(0, 3, 1, 2).reshape(b, 3, p)
+    if padded != p:
+        planar = jnp.pad(planar, ((0, 0), (0, 0), (0, padded - p)))
+    planar = planar.reshape(b, 3, padded // LANES, LANES)
+
+    coeffs = jnp.concatenate([coeff_rgb, coeff_lab, coeff_hsv], axis=1)  # (B, 9, N)
+    coeffs = coeffs.astype(jnp.float32)
+
+    kernel = _make_kernel(degree, spatial, w, h, row0, th, tw, img.dtype)
+    call = pl.pallas_call(
+        kernel,
+        grid=(1, blocks),
+        in_specs=[
+            pl.BlockSpec((1, 9, n), lambda bi, i: (bi, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (1, 3, SUBLANES, LANES),
+                lambda bi, i: (bi, 0, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 3, SUBLANES, LANES),
+            lambda bi, i: (bi, 0, i, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((1, 3, padded // LANES, LANES), img.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=int(padded * 3 * (2 * n * 3 + n + 200)),
+            bytes_accessed=int(padded * 3 * 2 * img.dtype.itemsize),
+            transcendentals=int(padded * 24),
+        ),
+    )
+    # One kernel launch per image (grid (1, blocks)): large multi-image
+    # grids proved unstable on the tunneled v5e worker, and per-image
+    # launches cost nothing at these grid sizes.
+    outs = [call(coeffs[i : i + 1], planar[i : i + 1]) for i in range(b)]
+    out = jnp.concatenate(outs, axis=0) if b > 1 else outs[0]
+
+    out = out.reshape(b, 3, padded)[:, :, :p].reshape(b, 3, h, w)
+    return out.transpose(0, 2, 3, 1)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _fused_vjp(img, c_rgb, c_lab, c_hsv, degree, spatial, tile):
+    return _fused_forward(img, c_rgb, c_lab, c_hsv, degree, spatial, tile)
+
+
+def _fused_vjp_fwd(img, c_rgb, c_lab, c_hsv, degree, spatial, tile):
+    out = _fused_forward(img, c_rgb, c_lab, c_hsv, degree, spatial, tile)
+    return out, (img, c_rgb, c_lab, c_hsv)
+
+
+def _fused_vjp_bwd(degree, spatial, tile, residuals, g):
+    # Backward through the mathematically identical XLA implementation —
+    # training at crop resolution is backbone/SSIM-dominated, so the fused
+    # forward is where the win is.
+    from curl_tpu.ops import enhance
+
+    img, c_rgb, c_lab, c_hsv = residuals
+
+    def ref(im, a, b, c):
+        return enhance.trispace_residual(
+            im, a, b, c, degree=degree, spatial=spatial, impl="xla", tile=tile
+        )
+
+    _, vjp = jax.vjp(ref, img, c_rgb, c_lab, c_hsv)
+    return vjp(g)
+
+
+_fused_vjp.defvjp(_fused_vjp_fwd, _fused_vjp_bwd)
+
+
 @functools.partial(
     jax.jit, static_argnames=("degree", "spatial", "tile")
 )
@@ -136,7 +234,8 @@ def fused_trispace_residual(
 
     img: (B, H, W, 3); coeffs: (B, 3, N) each. `tile` = (row_offset,
     col_offset, total_h, total_w) for row-band tiling (col_offset must be 0
-    and the band must span the full width).
+    and the band must span the full width). Differentiable: the custom VJP
+    routes the backward pass through the XLA implementation.
     """
     b, h, w, _ = img.shape
     if tile is None:
@@ -150,45 +249,15 @@ def fused_trispace_residual(
     for name, c in (("rgb", coeff_rgb), ("lab", coeff_lab), ("hsv", coeff_hsv)):
         if c.shape != (b, 3, n):
             raise ValueError(f"coeff_{name} must be {(b, 3, n)}; got {c.shape}")
+    blocks = -(-(h * w) // (SUBLANES * LANES))
+    if b * blocks > MAX_GRID_STEPS:
+        # Too much kernel work for one program on this platform — use the
+        # equivalent XLA path (callers can split the batch outside jit to
+        # keep the fused kernel; infer.Enhancer does).
+        from curl_tpu.ops import enhance
 
-    p = h * w
-    block_px = SUBLANES * LANES
-    blocks = -(-p // block_px)
-    padded = blocks * block_px
-
-    # NHWC -> planar flattened (B, 3, rows, 128).
-    planar = img.transpose(0, 3, 1, 2).reshape(b, 3, p)
-    if padded != p:
-        planar = jnp.pad(planar, ((0, 0), (0, 0), (0, padded - p)))
-    planar = planar.reshape(b, 3, padded // LANES, LANES)
-
-    coeffs = jnp.concatenate([coeff_rgb, coeff_lab, coeff_hsv], axis=1)  # (B, 9, N)
-    coeffs = coeffs.astype(jnp.float32)
-
-    kernel = _make_kernel(degree, spatial, w, h, row0, th, tw, img.dtype)
-    out = pl.pallas_call(
-        kernel,
-        grid=(b, blocks),
-        in_specs=[
-            pl.BlockSpec((1, 9, n), lambda bi, i: (bi, 0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec(
-                (1, 3, SUBLANES, LANES),
-                lambda bi, i: (bi, 0, i, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, 3, SUBLANES, LANES),
-            lambda bi, i: (bi, 0, i, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        out_shape=jax.ShapeDtypeStruct((b, 3, padded // LANES, LANES), img.dtype),
-        cost_estimate=pl.CostEstimate(
-            flops=int(b * padded * 3 * (2 * n * 3 + n + 200)),
-            bytes_accessed=int(b * padded * 3 * 2 * img.dtype.itemsize),
-            transcendentals=int(b * padded * 24),
-        ),
-    )(coeffs, planar)
-
-    out = out.reshape(b, 3, padded)[:, :, :p].reshape(b, 3, h, w)
-    return out.transpose(0, 2, 3, 1)
+        return enhance.trispace_residual(
+            img, coeff_rgb, coeff_lab, coeff_hsv,
+            degree=degree, spatial=spatial, impl="xla", tile=tile,
+        )
+    return _fused_vjp(img, coeff_rgb, coeff_lab, coeff_hsv, degree, spatial, tile)

@@ -9,6 +9,7 @@ single-controller mesh design makes unnecessary.
 
 from __future__ import annotations
 
+import contextlib
 import datetime
 import logging
 import os
@@ -25,6 +26,7 @@ from curl_tpu.parallel import mesh as mesh_lib
 from curl_tpu.train import checkpoint as ckpt_lib
 from curl_tpu.train import state as state_lib
 from curl_tpu.train import steps as steps_lib
+from curl_tpu.utils import profiling
 
 log = logging.getLogger("curl_tpu")
 
@@ -36,6 +38,7 @@ def build_model(cfg: Config):
             spatial=cfg.spatial,
             backbone=cfg.backbone,
             residual_impl=cfg.residual_impl,
+            compute_dtype=cfg.compute_dtype,
         )
     if cfg.model == "curve":
         return CurlCurveNet(
@@ -162,9 +165,12 @@ class Trainer:
 
         ckpt_dir = os.path.join(self.log_dirpath, "checkpoints")
         self.ckpt_dir = ckpt_dir
-        if cfg.checkpoint_filepath:
-            self.state, self.start_epoch = ckpt_lib.restore(cfg.checkpoint_filepath, self.state)
-            log.info("restored checkpoint %s at epoch %d", cfg.checkpoint_filepath, self.start_epoch)
+        resume_path = cfg.checkpoint_filepath
+        if resume_path is None and cfg.auto_resume:
+            resume_path = ckpt_lib.latest_checkpoint(ckpt_dir)
+        if resume_path:
+            self.state, self.start_epoch = ckpt_lib.restore(resume_path, self.state)
+            log.info("restored checkpoint %s at epoch %d", resume_path, self.start_epoch)
 
         self.train_step = steps_lib.make_train_step(
             ssim_window=cfg.ssim_window_size, augment=cfg.augment
@@ -188,10 +194,16 @@ class Trainer:
         rng = jax.random.PRNGKey(cfg.seed + 1)
         examples_seen = self.start_epoch * len(self.train_loader) * cfg.batch_size
         for epoch in range(self.start_epoch, cfg.num_epoch):
+            profile_ctx = (
+                profiling.trace(cfg.profile_dir)
+                if cfg.profile_dir and epoch == self.start_epoch
+                else contextlib.nullcontext()
+            )
             self.train_loader.set_epoch(epoch)
             t0 = time.time()
             epoch_loss, batches = 0.0, 0
-            for batch in pipeline.prefetch(iter(self.train_loader)):
+            with profile_ctx:
+              for batch in pipeline.prefetch(iter(self.train_loader)):
                 batch.pop("name")
                 batch.pop("valid_count")
                 batch = pipeline.shard_batch(batch, self.batch_sharding)

@@ -1,0 +1,97 @@
+"""Golden-artifact tests against the reference's bundled example images.
+
+`adobe5k_dpe/curl_example_test_inference/` contains the reference model's
+outputs with the PSNR/SSIM it computed *baked into the filenames* — de-facto
+regression fixtures (SURVEY.md §4). Recomputing those metrics with our stack
+on the bundled files must land close. Exact equality is impossible from the
+artifacts alone: the dumped files are lossy JPEG (the original metrics were
+computed on the pre-save float tensors) and the foreground masks are not
+bundled — hence the ~1.5 dB / 0.03 tolerances.
+"""
+
+import os
+import re
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from curl_tpu.models import metrics
+
+_DPE = "/root/reference/adobe5k_dpe"
+_NAME_RE = re.compile(
+    r"(?P<stem>.+?)[_ ]?(VALID|TEST)_\d+_\d+_PSNR_(?P<psnr>[\d.]+)_SSIM_(?P<ssim>[\d.]+)\.jpg"
+)
+
+requires_artifacts = pytest.mark.skipif(
+    not os.path.isdir(os.path.join(_DPE, "curl_example_test_inference")),
+    reason="bundled adobe5k_dpe example artifacts not available",
+)
+
+
+def _load(path):
+    from PIL import Image
+
+    return np.asarray(Image.open(path).convert("RGB"), np.float32) / 255.0
+
+
+def _cases():
+    inf_dir = os.path.join(_DPE, "curl_example_test_inference")
+    if not os.path.isdir(inf_dir):
+        return []
+    out = []
+    for f in sorted(os.listdir(inf_dir)):
+        m = _NAME_RE.match(f)
+        if m:
+            out.append((f, m.group("stem"), float(m.group("psnr")), float(m.group("ssim"))))
+    return out
+
+
+def _measure(fname, stem):
+    inf = _load(os.path.join(_DPE, "curl_example_test_inference", fname))
+    gt = _load(os.path.join(_DPE, "curl_example_test_output", stem + ".png"))
+    h = min(inf.shape[0], gt.shape[0])
+    w = min(inf.shape[1], gt.shape[1])
+    inf, gt = inf[None, :h, :w], gt[None, :h, :w]
+    mask = jnp.ones((1, h, w, 1), jnp.float32)
+    psnr = float(metrics.psnr(jnp.asarray(gt), jnp.asarray(inf), mask))
+    ssim = float(metrics.masked_ms_ssim(jnp.asarray(gt), jnp.asarray(inf), mask))
+    return psnr, ssim
+
+
+@requires_artifacts
+class TestGoldenMetrics:
+    @pytest.mark.parametrize("fname,stem,psnr_exp,ssim_exp", _cases())
+    def test_metrics_in_ballpark(self, fname, stem, psnr_exp, ssim_exp):
+        if not os.path.isfile(os.path.join(_DPE, "curl_example_test_output", stem + ".png")):
+            pytest.skip(f"no ground truth for {stem}")
+        psnr, ssim = _measure(fname, stem)
+        # The filename values were computed on pre-save float tensors WITH
+        # foreground masks (not bundled); the JPEGs add compression loss and
+        # the background skews both metrics. Mask-free recomputation lands
+        # within ~4 dB / [-0.02, +0.10].
+        assert abs(psnr - psnr_exp) < 4.0, f"{fname}: psnr {psnr:.3f} vs {psnr_exp}"
+        assert -0.02 < ssim - ssim_exp < 0.10, f"{fname}: ssim {ssim:.3f} vs {ssim_exp}"
+
+    def test_psnr_ordering_tracks_reference(self):
+        """Across the 9 artifacts our PSNR must rank images like the
+        reference's own numbers (rank correlation) and stay close on
+        average."""
+        cases = [c for c in _cases()
+                 if os.path.isfile(os.path.join(_DPE, "curl_example_test_output", c[1] + ".png"))]
+        ours, theirs = [], []
+        for fname, stem, psnr_exp, _ in cases:
+            psnr, _ = _measure(fname, stem)
+            ours.append(psnr)
+            theirs.append(psnr_exp)
+        ours, theirs = np.asarray(ours), np.asarray(theirs)
+        assert np.mean(np.abs(ours - theirs)) < 2.0
+        rank_ours = np.argsort(np.argsort(ours))
+        rank_theirs = np.argsort(np.argsort(theirs))
+        n = len(ours)
+        rho = 1 - 6 * np.sum((rank_ours - rank_theirs) ** 2) / (n * (n**2 - 1))
+        assert rho > 0.7, f"rank correlation {rho:.2f}"
+
+    def test_found_all_nine_artifacts(self):
+        assert len(_cases()) == 9
