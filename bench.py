@@ -30,6 +30,25 @@ H, W = 1080, 1920
 PREDICT = 320
 
 
+def _wait_for_device(max_wait_s: float = 720.0) -> bool:
+    """Poll until the TPU worker answers (it takes ~5-10 min to restart
+    after a crash)."""
+    import subprocess
+    import sys
+
+    deadline = time.time() + max_wait_s
+    while time.time() < deadline:
+        probe = subprocess.run(
+            [sys.executable, "-c",
+             "import jax, jax.numpy as jnp; print(float(jnp.sum(jnp.ones((8,8)))))"],
+            capture_output=True, timeout=90, text=True,
+        )
+        if probe.returncode == 0 and "64.0" in probe.stdout:
+            return True
+        time.sleep(45)
+    return False
+
+
 def measure_jax(batch: int, iters: int, dtype: str, impl: str) -> float:
     import jax
     import jax.numpy as jnp
@@ -60,6 +79,36 @@ def measure_jax(batch: int, iters: int, dtype: str, impl: str) -> float:
         run()
     dt = time.perf_counter() - t0
     return batch * iters / dt
+
+
+def measure_jax_resilient(batch: int, iters: int, dtype: str, impl: str) -> float:
+    """The tunneled TPU worker occasionally crashes under sustained heavy
+    programs; measure in a subprocess per attempt, shrinking the batch and
+    waiting out worker restarts. A reliable (if conservative) number beats
+    none."""
+    import subprocess
+    import sys
+
+    for attempt_batch in (batch, max(1, batch // 4), 1):
+        code = (
+            "import sys; sys.path.insert(0, {here!r});\n"
+            "import bench; print('RESULT', bench.measure_jax({b}, {i}, {d!r}, {m!r}))"
+        ).format(here=_HERE, b=attempt_batch, i=iters, d=dtype, m=impl)
+        proc = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True,
+            timeout=3000, cwd=_HERE,
+        )
+        for line in proc.stdout.splitlines():
+            if line.startswith("RESULT "):
+                return float(line.split()[1])
+        sys.stderr.write(
+            f"bench attempt (batch={attempt_batch}) failed; waiting for device...\n"
+        )
+        if not _wait_for_device():
+            break
+        if attempt_batch == 1:
+            break
+    raise RuntimeError("benchmark failed at every batch size")
 
 
 def measure_torch_baseline(batch: int = 1, iters: int = 3) -> float:
@@ -111,10 +160,10 @@ def measure_torch_baseline(batch: int = 1, iters: int = 3) -> float:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--batch", type=int, default=2)
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
-    ap.add_argument("--impl", default=os.environ.get("CURL_TPU_IMPL", "xla"))
+    ap.add_argument("--impl", default=os.environ.get("CURL_TPU_IMPL", "pallas"))
     ap.add_argument("--quick", action="store_true", help="small batch/iters")
     ap.add_argument(
         "--measure-baseline",
@@ -142,7 +191,7 @@ def main() -> None:
         with open(_BASELINE_FILE) as f:
             baseline = json.load(f).get("torch_cpu_1080p_images_per_sec")
 
-    ips = measure_jax(args.batch, args.iters, args.dtype, args.impl)
+    ips = measure_jax_resilient(args.batch, args.iters, args.dtype, args.impl)
     print(
         json.dumps(
             {

@@ -33,8 +33,10 @@ class Config:
     num_rgb_points: int = 48
     num_hsv_points: int = 64
     residual_impl: str = "xla"  # xla | pallas
+    curve_impl: str = "xla"  # xla | pallas (curve model fused pass)
     param_dtype: str = "float32"
     compute_dtype: str = "float32"  # float32 | bfloat16 (backbone fast mode)
+    identity_init: bool = False  # initialize model as the identity transform
 
     # Loss / metrics
     ssim_window_size: int = 11

@@ -12,7 +12,7 @@ parallelism.
 
 from __future__ import annotations
 
-from functools import partial
+
 from typing import Optional
 
 import jax

@@ -282,12 +282,28 @@ class EfficientNetV2(nn.Module):
 class MLPHead(nn.Module):
     """The reference's replaced classifier: a stack of bias-ful Linear layers
     with no activations between them (reference model.py:459-463) —
-    reproduced as-is for checkpoint compatibility."""
+    reproduced as-is for checkpoint compatibility.
+
+    When `last_bias_init` is given, the final layer starts with zero kernel
+    and that bias vector — used by TriSpacePolyNet's identity
+    initialization, which makes a fresh model the identity transform (not a
+    reference behavior, but markedly better training dynamics)."""
 
     widths: Sequence[int]
+    last_bias_init: Optional[tuple] = None
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
+        last = len(self.widths) - 1
         for i, w in enumerate(self.widths):
-            x = nn.Dense(w, name=f"fc{i}", dtype=x.dtype)(x)
+            init = {}
+            if self.last_bias_init is not None and i == last:
+                bias = jnp.asarray(self.last_bias_init, jnp.float32)
+                init = {
+                    "kernel_init": nn.initializers.zeros,
+                    "bias_init": lambda key, shape, dtype=jnp.float32, b=bias: (
+                        b.astype(dtype)
+                    ),
+                }
+            x = nn.Dense(w, name=f"fc{i}", dtype=x.dtype, **init)(x)
         return x

@@ -31,7 +31,7 @@ from curl_tpu.models import backbone as bb
 from curl_tpu.ops import color, curves
 
 
-@partial(jax.jit, static_argnames=("mode",))
+@partial(jax.jit, static_argnames=("mode", "impl"))
 def curl_curve_layer(
     img: Array,
     mask: Array,
@@ -39,11 +39,32 @@ def curl_curve_layer(
     knots_rgb: Array,
     knots_hsv: Array,
     mode: curves.Mode = "paper",
+    impl: str = "xla",
 ) -> tuple[Array, Array]:
     """Tri-space curve enhancement (the repaired CURLLayer forward,
     reference model.py:137-176). img (B,H,W,3), mask (B,H,W,1); knot params
-    (B, 3K) / (B, 3K) / (B, 4K). Returns (enhanced, regularizer)."""
+    (B, 3K) / (B, 3K) / (B, 4K). Returns (enhanced, regularizer).
+
+    impl="pallas" runs the whole pass as one fused kernel per tile
+    (paper mode only); "xla" is the reference-shaped op chain."""
     mask = mask.astype(img.dtype)
+
+    if impl == "pallas":
+        if mode != "paper":
+            raise NotImplementedError("fused curve kernel implements paper mode")
+        from curl_tpu.ops.pallas.curve_kernel import fused_curve_enhance
+
+        kl = jnp.exp(jnp.stack(jnp.split(knots_lab, 3, axis=-1), axis=1))
+        kr = jnp.exp(jnp.stack(jnp.split(knots_rgb, 3, axis=-1), axis=1))
+        kh = jnp.exp(jnp.stack(jnp.split(knots_hsv, 4, axis=-1), axis=1))
+        out = fused_curve_enhance(img, mask, kl, kr, kh)
+        reg = sum(
+            jnp.sum(
+                jax.vmap(curves.slope_smoothness, in_axes=1, out_axes=1)(k), axis=-1
+            )
+            for k in (kl, kr, kh)
+        )
+        return out, reg
 
     img_lab = color.rgb_to_lab(img)
     img_lab, reg_lab = curves.adjust_lab(img_lab, knots_lab, mode=mode)
@@ -72,6 +93,7 @@ class CurlCurveNet(nn.Module):
     backbone: Union[str, bb.BackboneCfg] = "efficientnetv2_rw_s"
     bn_axis_name: str | None = None
     curve_mode: curves.Mode = "paper"
+    curve_impl: str = "xla"  # xla | pallas (fused single-program pass)
 
     @nn.compact
     def __call__(
@@ -92,4 +114,5 @@ class CurlCurveNet(nn.Module):
             knots[:, b1:b2],
             knots[:, b2:],
             mode=self.curve_mode,
+            impl=self.curve_impl,
         )

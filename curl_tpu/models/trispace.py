@@ -26,6 +26,46 @@ def _resolve_cfg(backbone: Union[str, bb.BackboneCfg]) -> bb.BackboneCfg:
     return bb.CONFIGS[backbone] if isinstance(backbone, str) else backbone
 
 
+def _identity_bias(num_coeffs: int) -> tuple:
+    """Final-layer bias making a zero-kernel head the identity transform.
+
+    With all non-constant coefficients 0, each space's polynomial output is
+    sigmoid(constant). Choosing the constants so RGB maps to 0.5 and the
+    Lab/HSV branches convert back to exactly mid-gray makes every residual
+    contribution 2*(0.5 - 0.5) = 0:
+      RGB: logit(0.5) = 0;
+      Lab: L of mid-gray (rgb_to_lab(0.5) -> 0.53377) -> logit; a=b -> 0;
+      HSV: mid-gray has hue=sat=0 (floor 1e-9) -> large negative logit,
+           value 0.5 -> 0.
+    """
+    import numpy as _np
+
+    # Closed-form mid-gray coordinates (pure numpy: this runs inside
+    # linen setup(), possibly under a jit trace). rgb_to_lab(0.5): all three
+    # XYZ components equal the linearized value, so a = b = 0 and
+    # L = 116 * lin^(1/3) - 16; rgb_to_hsv(0.5): zero chroma floors hue and
+    # saturation at the 1e-9 clamp, value = 0.5.
+    lin = ((0.5 + 0.055) / 1.055) ** 2.4
+    l_norm = (116.0 * lin ** (1.0 / 3.0) - 16.0) / 100.0
+    lab = (l_norm, 0.5, 0.5)
+    hsv = (1e-9, 1e-9, 0.5)
+
+    def logit(v):
+        v = float(_np.clip(v, 1e-7, 1.0 - 1e-7))
+        return float(_np.log(v / (1.0 - v)))
+
+    consts = {
+        0: (0.0, 0.0, 0.0),  # RGB
+        1: tuple(logit(v) for v in lab),  # Lab
+        2: tuple(logit(v) for v in hsv),  # HSV
+    }
+    bias = _np.zeros((3, 3, num_coeffs), _np.float32)
+    for space, vals in consts.items():
+        for c in range(3):
+            bias[space, c, 0] = vals[c]
+    return tuple(bias.reshape(-1).tolist())
+
+
 class TriSpacePolyNet(nn.Module):
     """Predicts (3 spaces x 3 channels x num_coeffs) polynomial coefficients
     and applies the tri-space residual.
@@ -49,6 +89,7 @@ class TriSpacePolyNet(nn.Module):
     residual_impl: str = "xla"
     compute_dtype: str = "float32"  # backbone compute dtype; bfloat16 halves
     # conv time on the MXU while coefficients and the residual stay fp32
+    identity_init: bool = False  # initialize as the identity transform
 
     num_channels: int = 3
     num_spaces: int = 3
@@ -68,7 +109,8 @@ class TriSpacePolyNet(nn.Module):
         out_dim = self.num_spaces * self.num_channels * self.num_coeffs
         # The reference's replaced classifier: 1024 -> 1024 -> 512 -> 512 ->
         # out, bias-ful Linears with no activations (model.py:459-463).
-        self.head = bb.MLPHead((1024, 512, 512, out_dim))
+        bias = _identity_bias(self.num_coeffs) if self.identity_init else None
+        self.head = bb.MLPHead((1024, 512, 512, out_dim), last_bias_init=bias)
 
     def generate_coefficients(
         self, img: Array, mask: Array, *, train: bool = False

@@ -39,6 +39,7 @@ def build_model(cfg: Config):
             backbone=cfg.backbone,
             residual_impl=cfg.residual_impl,
             compute_dtype=cfg.compute_dtype,
+            identity_init=cfg.identity_init,
         )
     if cfg.model == "curve":
         return CurlCurveNet(
@@ -46,6 +47,7 @@ def build_model(cfg: Config):
             num_rgb_points=cfg.num_rgb_points,
             num_hsv_points=cfg.num_hsv_points,
             backbone=cfg.backbone,
+            curve_impl=cfg.curve_impl,
         )
     if cfg.model == "polyreg":
         return PolyRegNet(polynomial_order=cfg.polynomial_order, backbone=cfg.backbone)
@@ -71,13 +73,24 @@ def setup_logging(log_dirpath: Optional[str]) -> str:
     return log_dirpath
 
 
-def save_images(batch_out: np.ndarray, names: list[str], out_dir: str) -> None:
+def save_images(
+    batch_out: np.ndarray,
+    names: list[str],
+    out_dir: str,
+    psnr=None,
+    msssim=None,
+) -> None:
     """Dump enhanced images as 8-bit files (role of reference
-    evaluate.py:50-66)."""
+    evaluate.py:50-66). When per-image metrics are given, they are embedded
+    in the filename like the reference's bundled inference artifacts
+    (`<stem>_PSNR_x.xxx_SSIM_y.yyy.<ext>`)."""
     from PIL import Image
 
     os.makedirs(out_dir, exist_ok=True)
     for i, name in enumerate(names):
+        if psnr is not None and msssim is not None:
+            stem, ext = os.path.splitext(name)
+            name = f"{stem}_PSNR_{float(psnr[i]):.3f}_SSIM_{float(msssim[i]):.3f}{ext}"
         arr = np.clip(np.asarray(batch_out[i]) * 255.0, 0, 255).astype(np.uint8)
         Image.fromarray(arr).save(os.path.join(out_dir, name))
 
@@ -101,12 +114,20 @@ class Evaluator:
                 batch = pipeline.shard_batch(batch, sharding)
             stats = self.eval_step(trainstate, batch)
             enhanced = stats.pop("enhanced")
+            psnr_i = stats.pop("psnr_per_image")
+            msssim_i = stats.pop("msssim_per_image")
             for k, v in stats.items():
                 totals[k] = totals.get(k, 0.0) + float(v)
             if save_outputs and jax.process_index() == 0:
                 n_valid = int(batch["valid_count"])
                 out_dir = os.path.join(self.log_dirpath, self.split_name, str(epoch + 1))
-                save_images(np.asarray(enhanced)[:n_valid], names[:n_valid], out_dir)
+                save_images(
+                    np.asarray(enhanced)[:n_valid],
+                    names[:n_valid],
+                    out_dir,
+                    psnr=np.asarray(psnr_i)[:n_valid],
+                    msssim=np.asarray(msssim_i)[:n_valid],
+                )
         summary = steps_lib.summarize_eval(totals)
         log.info(
             "loss_%s: %.5f psnr_%s: %.3f msssim_%s: %.3f",
@@ -202,6 +223,17 @@ class Trainer:
             self.train_loader.set_epoch(epoch)
             t0 = time.time()
             epoch_loss, batches = 0.0, 0
+            try:
+                from tqdm import tqdm
+
+                pbar = tqdm(
+                    total=len(self.train_loader),
+                    disable=(jax.process_index() != 0),
+                    leave=False,
+                    desc=f"epoch {epoch + 1}",
+                )
+            except ImportError:
+                pbar = None
             with profile_ctx:
               for batch in pipeline.prefetch(iter(self.train_loader)):
                 batch.pop("name")
@@ -215,6 +247,11 @@ class Trainer:
                 examples_seen += cfg.batch_size
                 if self.writer:
                     self.writer.add_scalar("Loss/train", loss, examples_seen)
+                if pbar:
+                    pbar.set_description(f"epoch {epoch + 1} loss {loss:.4f}")
+                    pbar.update(1)
+            if pbar:
+                pbar.close()
             mean_loss = epoch_loss / max(batches, 1)
             dt = time.time() - t0
             log.info(

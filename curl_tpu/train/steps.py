@@ -12,7 +12,7 @@ on device inside the step (contrast the reference's CPU
 from __future__ import annotations
 
 from functools import partial
-from typing import Any, Callable
+from typing import Callable
 
 import jax
 import jax.numpy as jnp
@@ -93,6 +93,8 @@ def make_eval_step(ssim_window: int = 11) -> Callable:
             "msssim_sum": jnp.sum(msssim_i * valid),
             "count": jnp.sum(valid),
             "enhanced": enhanced,
+            "psnr_per_image": psnr_i,
+            "msssim_per_image": msssim_i,
         }
 
     return eval_step

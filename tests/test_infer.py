@@ -1,0 +1,69 @@
+"""Inference-engine unit tests."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from curl_tpu.infer.engine import Enhancer, center_crop, resize_shorter_side
+from curl_tpu.models import TriSpacePolyNet
+
+
+@pytest.fixture(scope="module")
+def enhancer():
+    net = TriSpacePolyNet(backbone="tiny")
+    img = jnp.zeros((1, 32, 32, 3))
+    mask = jnp.ones((1, 32, 32, 1))
+    variables = net.init(jax.random.PRNGKey(0), img, mask)
+    return Enhancer(net, variables, backbone_size=32)
+
+
+class TestPreprocessing:
+    def test_resize_shorter_side_landscape(self, rng):
+        img = rng.uniform(size=(100, 200, 3)).astype(np.float32)
+        out = resize_shorter_side(img, 50)
+        assert out.shape == (50, 100, 3)
+
+    def test_resize_shorter_side_portrait(self, rng):
+        img = rng.uniform(size=(200, 100, 3)).astype(np.float32)
+        out = resize_shorter_side(img, 50)
+        assert out.shape == (100, 50, 3)
+
+    def test_resize_mono(self, rng):
+        img = (rng.uniform(size=(100, 200, 1)) > 0.5).astype(np.float32)
+        out = resize_shorter_side(img, 50)
+        assert out.shape == (50, 100, 1)
+
+    def test_center_crop_exact_and_pad(self, rng):
+        img = rng.uniform(size=(60, 80, 3)).astype(np.float32)
+        assert center_crop(img, 40).shape == (40, 40, 3)
+        assert center_crop(img, 100).shape == (100, 100, 3)  # pads
+
+
+class TestEnhancer:
+    def test_coefficients_shape(self, enhancer, rng):
+        img = jnp.asarray(rng.uniform(0, 1, (2, 32, 32, 3)).astype(np.float32))
+        mask = jnp.ones((2, 32, 32, 1), jnp.float32)
+        r, l, h = enhancer.coefficients(img, mask)
+        assert r.shape == l.shape == h.shape == (2, 3, 126)
+
+    def test_white_background_matte(self, enhancer, rng):
+        img = jnp.asarray(rng.uniform(0, 1, (1, 32, 32, 3)).astype(np.float32))
+        mask = jnp.ones((1, 32, 32, 1), jnp.float32)
+        target = jnp.asarray(rng.uniform(0, 1, (1, 64, 64, 3)).astype(np.float32))
+        tmask = jnp.zeros((1, 64, 64, 1), jnp.float32).at[:, 16:48, 16:48].set(1.0)
+        out = enhancer.enhance_image(
+            img, mask, target, tmask, white_background=True
+        )
+        # Background must be exactly white; foreground must not be.
+        np.testing.assert_allclose(np.asarray(out[0, 0, 0]), 1.0)
+        assert float(jnp.abs(out[:, 16:48, 16:48] - 1.0).max()) > 0.01
+
+    def test_batched_enhance_matches_per_image(self, enhancer, rng):
+        img = jnp.asarray(rng.uniform(0, 1, (2, 32, 32, 3)).astype(np.float32))
+        mask = jnp.ones((2, 32, 32, 1), jnp.float32)
+        target = jnp.asarray(rng.uniform(0, 1, (2, 48, 48, 3)).astype(np.float32))
+        both = enhancer.enhance_image(img, mask, target)
+        one = enhancer.enhance_image(img[:1], mask[:1], target[:1])
+        np.testing.assert_allclose(np.asarray(both[:1]), np.asarray(one), atol=1e-6)

@@ -89,3 +89,48 @@ class TestFusedKernel:
         cs = _coeffs(rng)
         with pytest.raises(NotImplementedError):
             fused_trispace_residual(img, *cs, tile=(0, 8, 16, 32))
+
+
+class TestFusedCurveKernel:
+    def _inputs(self, rng, b=2, h=24, w=40):
+        img = jnp.asarray(rng.uniform(0, 1, (b, h, w, 3)).astype(np.float32))
+        mask = jnp.asarray((rng.uniform(size=(b, h, w, 1)) < 0.9).astype(np.float32))
+        kl = jnp.asarray(rng.normal(scale=0.05, size=(b, 48)).astype(np.float32))
+        kr = jnp.asarray(rng.normal(scale=0.05, size=(b, 48)).astype(np.float32))
+        kh = jnp.asarray(rng.normal(scale=0.05, size=(b, 64)).astype(np.float32))
+        return img, mask, kl, kr, kh
+
+    def test_matches_xla_layer(self, rng):
+        from curl_tpu.models.curl_curve import curl_curve_layer
+
+        img, mask, kl, kr, kh = self._inputs(rng)
+        ref, reg_ref = curl_curve_layer(img, mask, kl, kr, kh, impl="xla")
+        with pltpu.force_tpu_interpret_mode():
+            got, reg_got = curl_curve_layer(img, mask, kl, kr, kh, impl="pallas")
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=5e-5)
+        np.testing.assert_allclose(np.asarray(reg_got), np.asarray(reg_ref), atol=1e-5)
+
+    def test_gradients_through_custom_vjp(self, rng):
+        from curl_tpu.models.curl_curve import curl_curve_layer
+
+        img, mask, kl, kr, kh = self._inputs(rng, b=1, h=16, w=16)
+
+        def loss(params):
+            kl_, kr_, kh_ = params
+            with pltpu.force_tpu_interpret_mode():
+                out, reg = curl_curve_layer(img, mask, kl_, kr_, kh_, impl="pallas")
+            return jnp.sum(out) + jnp.sum(reg)
+
+        grads = jax.grad(loss)((kl, kr, kh))
+        for g in grads:
+            assert np.isfinite(np.asarray(g)).all()
+            assert float(jnp.abs(g).max()) > 0
+
+    def test_odd_size_padding(self, rng):
+        from curl_tpu.models.curl_curve import curl_curve_layer
+
+        img, mask, kl, kr, kh = self._inputs(rng, b=1, h=17, w=23)
+        ref, _ = curl_curve_layer(img, mask, kl, kr, kh, impl="xla")
+        with pltpu.force_tpu_interpret_mode():
+            got, _ = curl_curve_layer(img, mask, kl, kr, kh, impl="pallas")
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=5e-5)

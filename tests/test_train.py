@@ -76,7 +76,8 @@ class TestTrainStep:
         stats = estep(state, batch)
         assert float(stats["count"]) == 3.0
         assert stats["enhanced"].shape == (4, 32, 32, 3)
-        summary = steps_lib.summarize_eval({k: float(v) for k, v in stats.items() if k != "enhanced"})
+        scalar_keys = ("loss_sum", "psnr_sum", "psnr_count", "msssim_sum", "count")
+        summary = steps_lib.summarize_eval({k: float(stats[k]) for k in scalar_keys})
         assert np.isfinite(summary["loss"]) and np.isfinite(summary["psnr"])
 
 
