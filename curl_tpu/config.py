@@ -48,6 +48,7 @@ class Config:
     adam_b1: float = 0.5
     adam_b2: float = 0.999
     lr_epoch_granularity: bool = True
+    clip_grad_norm: float = 0.0  # 0 = off
     augment: bool = True
 
     # Checkpoint / logging

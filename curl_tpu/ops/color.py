@@ -152,10 +152,17 @@ def lab_to_rgb(img: Array) -> Array:
     return img
 
 
+# Denominators below this are treated as zero. The reference guards only
+# df == 0.0 exactly (colors.py:186-193), but gradients of 1/df blow up to
+# inf/NaN for denormal df (the hue is ill-defined for near-gray pixels
+# anyway); the threshold changes forward values only where df <= 1e-10.
+_RECIP_TINY = 1e-10
+
+
 def _safe_reciprocal(x: Array) -> Array:
-    """1/x where x != 0, exactly 0 elsewhere (reference `non_nan_inv`,
-    colors.py:186-193)."""
-    nonzero = x != 0.0
+    """1/x where x is meaningfully nonzero, exactly 0 elsewhere (reference
+    `non_nan_inv`, colors.py:186-193, hardened for gradient stability)."""
+    nonzero = jnp.abs(x) > _RECIP_TINY
     return jnp.where(nonzero, 1.0 / jnp.where(nonzero, x, 1.0), 0.0)
 
 
@@ -173,7 +180,7 @@ def rgb_to_hsv(img: Array) -> Array:
     df_inv = _safe_reciprocal(df)
     dt = img.dtype
     hue = jnp.where(
-        df == 0.0,
+        df <= _RECIP_TINY,
         jnp.zeros_like(df),
         ((g - b) * df_inv) * (r == mx).astype(dt)
         + (2.0 + (b - r) * df_inv) * (g == mx).astype(dt)
@@ -187,9 +194,9 @@ def rgb_to_hsv(img: Array) -> Array:
     # Saturation with safe division; value = max channel (colors.py:234-238).
     mx_inv = _safe_reciprocal(mx)
     sat = jnp.where(
-        mx == 0.0,
+        mx <= _RECIP_TINY,
         jnp.zeros_like(mx),
-        (mx != 0.0).astype(dt) * (df * mx_inv),
+        (mx > _RECIP_TINY).astype(dt) * (df * mx_inv),
     )
     out = jnp.stack([hue, sat, mx], axis=-1)
     return jnp.clip(out, 1e-9, 1.0)

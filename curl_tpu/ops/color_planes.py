@@ -103,7 +103,8 @@ def rgb_from_lab(l_, a_, b_):
 
 
 def _safe_recip(x):
-    nz = x != 0.0
+    # Same hardened guard as ops.color._safe_reciprocal.
+    nz = jnp.abs(x) > 1e-10
     return jnp.where(nz, 1.0 / jnp.where(nz, x, 1.0), 0.0)
 
 
@@ -119,7 +120,7 @@ def hsv_from_rgb(r, g, b):
     dt = r.dtype
     df_inv = _safe_recip(df)
     hue = jnp.where(
-        df == 0.0,
+        df <= 1e-10,
         jnp.zeros_like(df),
         ((g - b) * df_inv) * (r == mx).astype(dt)
         + (2.0 + (b - r) * df_inv) * (g == mx).astype(dt)
@@ -129,7 +130,7 @@ def hsv_from_rgb(r, g, b):
     hue = (hue < 0.0).astype(dt) * (hue + 360.0) + (hue >= 0.0).astype(dt) * hue
     hue = hue / 360.0
     mx_inv = _safe_recip(mx)
-    sat = jnp.where(mx == 0.0, jnp.zeros_like(mx), (mx != 0.0).astype(dt) * (df * mx_inv))
+    sat = jnp.where(mx <= 1e-10, jnp.zeros_like(mx), (mx > 1e-10).astype(dt) * (df * mx_inv))
     clip = lambda t: jnp.clip(t, 1e-9, 1.0)
     return clip(hue), clip(sat), clip(mx)
 

@@ -73,6 +73,11 @@ def trispace_residual(
         return fused_trispace_residual(
             img, coeff_rgb, coeff_lab, coeff_hsv, degree=degree, spatial=spatial, tile=tile
         )
+    # Low-precision inputs (bf16 activations mode) are storage formats only:
+    # the color/polynomial math runs in fp32 — matching the fused kernel's
+    # internal upcast — and the result is stored back in the input dtype.
+    in_dtype = img.dtype
+    img = img.astype(jnp.float32)
     rgb_res = _space_residual(img, coeff_rgb, degree, spatial, tile)
     lab_res = color.lab_to_rgb(
         _space_residual(color.rgb_to_lab(img), coeff_lab, degree, spatial, tile)
@@ -82,7 +87,7 @@ def trispace_residual(
     )
     return (
         2.0 * (rgb_res - 0.5) + 2.0 * (lab_res - 0.5) + 2.0 * (hsv_res - 0.5)
-    )
+    ).astype(in_dtype)
 
 
 def generate_image(img: Array, residual: Array) -> Array:

@@ -16,8 +16,8 @@ the two normalized spatial coordinates). This module provides:
     `pow(img, powers)` broadcasts like the reference (model.py:319-321).
   * `poly_apply(img, coeffs, ...)` — evaluates the polynomial per pixel and
     contracts with per-image coefficients (reference
-    `ChannelPolyLayer.forward`, model.py:295-333). The contraction is shaped
-    (pixels, num_coeffs) @ (num_coeffs, num_out) to land on the MXU.
+    `ChannelPolyLayer.forward`, model.py:295-333), via chained 2-D
+    scalar-broadcast accumulation (see `_eval_flat` for why not a matmul).
 
 Terminology matches the reference: `num_coeffs = C(V+D, D)`; for the flagship
 degree-4, 5-variable transform that is 126 monomials.
@@ -105,26 +105,37 @@ _DEFAULT_CHUNK = 1 << 18
 
 
 def _eval_flat(flat: Array, coeffs_t: Array, degree: int) -> Array:
-    """(B, P, V) pixels -> (B, P, num_out): build the monomial basis with
-    spatial dims flattened (keeps the stacked term axis minor-dim friendly:
-    (B, P, N) tiles cleanly, no 128x padding blowup) and contract on the
-    MXU."""
+    """(B, P, V) pixels -> (B, P, num_out) via the incremental monomial
+    chain with scalar-broadcast accumulation, strictly in 2-D (B, P)
+    arithmetic.
+
+    Deliberately NOT a materialized (B, P, N) basis + matmul: on TPU the
+    XLA compiler repeatedly materializes the basis-concat operands (and,
+    under autodiff, the saved chain values) as (B, P, 1) buffers whose
+    (8, 128) tile padding inflates them 128x — observed as 27-28 GB compile
+    failures at 256px batch 7 in both training and evaluation graphs. The
+    accumulation form keeps every intermediate a clean 2-D tile; the lost
+    MXU matmul only reached ~7% utilization (N=num_out=3) anyway, and the
+    fused Pallas kernel is the fast path for bulk inference."""
     v = flat.shape[-1]
+    num_out = coeffs_t.shape[-1]
     channels = [flat[..., i] for i in range(v)]
-    basis = monomial_basis(channels, degree)  # (B, P, N)
-    # fp32 inputs get true-fp32 contraction (TPU MXU would otherwise run
-    # bf16 passes, costing ~3 decimal digits); lower precisions keep the
-    # fast default.
-    precision = (
-        jax.lax.Precision.HIGHEST if basis.dtype == jnp.float32 else None
-    )
-    return jax.lax.dot_general(
-        basis,
-        coeffs_t,
-        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-        precision=precision,
-    )
+    plan = monomial_chain(degree, v)
+    ones = jnp.ones_like(channels[0])  # (B, P)
+    terms = [ones]
+    # Strictly 2-D (B, P) arithmetic: even an (..., 1) expand-dims broadcast
+    # operand materializes with (8, 128) tile padding on TPU, which is what
+    # this path exists to avoid. Coefficients broadcast as (B, 1) scalars.
+    accs = [coeffs_t[:, 0, c][:, None] * ones for c in range(num_out)]
+    for k, (parent, var) in enumerate(plan, start=1):
+        m = terms[parent] * channels[var]
+        terms.append(m)
+        for c in range(num_out):
+            accs[c] = accs[c] + coeffs_t[:, k, c][:, None] * m
+    return jnp.stack(accs, axis=-1)
+
+
+
 
 
 @partial(jax.jit, static_argnames=("degree", "num_out", "chunk_pixels"))

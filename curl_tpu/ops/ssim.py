@@ -108,8 +108,14 @@ def ms_ssim(
         mcs.append(cs)
         img1 = _avg_pool_2x2(img1)
         img2 = _avg_pool_2x2(img2)
-    ssims_arr = (jnp.stack(ssims, axis=1) + 1.0) / 2.0  # (B, L)
-    mcs_arr = (jnp.stack(mcs, axis=1) + 1.0) / 2.0
+    # The reference's "simple normalize" maps scores through (x+1)/2
+    # (metric.py:198-201) but contrast-structure values can dip below -1,
+    # and a negative base under the fractional weights then yields NaN. The
+    # reference's own comments call for "Relu normalize" (metric.py:188)
+    # without applying it — the floor at 0 implements that intent (only
+    # differs from the reference where it would have produced NaN).
+    ssims_arr = jnp.maximum((jnp.stack(ssims, axis=1) + 1.0) / 2.0, 0.0)  # (B, L)
+    mcs_arr = jnp.maximum((jnp.stack(mcs, axis=1) + 1.0) / 2.0, 0.0)
 
     pow_mcs = mcs_arr**weights
     pow_ssim = ssims_arr**weights

@@ -166,6 +166,12 @@ class Trainer:
         )
 
         self.model = build_model(cfg)
+        if len(self.train_loader) == 0:
+            raise ValueError(
+                f"batch_size {cfg.batch_size} exceeds the {len(train_records)} "
+                "training examples — every epoch would be empty (training "
+                "batches are dropped when incomplete to keep shapes static)"
+            )
         steps_per_epoch = max(1, len(self.train_loader))
         schedule = state_lib.onecycle_schedule(
             cfg.num_epoch,
@@ -174,7 +180,9 @@ class Trainer:
             epoch_granularity=cfg.lr_epoch_granularity,
         )
         self.schedule = schedule
-        tx = state_lib.make_optimizer(schedule, cfg.adam_b1, cfg.adam_b2)
+        tx = state_lib.make_optimizer(
+            schedule, cfg.adam_b1, cfg.adam_b2, clip_grad_norm=cfg.clip_grad_norm
+        )
 
         sample = np.zeros((1, cfg.crop_h, cfg.crop_w, 3), np.float32)
         sample_mask = np.ones((1, cfg.crop_h, cfg.crop_w, 1), np.float32)
@@ -234,6 +242,7 @@ class Trainer:
                 )
             except ImportError:
                 pbar = None
+            step_losses = []
             with profile_ctx:
               for batch in pipeline.prefetch(iter(self.train_loader)):
                 batch.pop("name")
@@ -241,17 +250,24 @@ class Trainer:
                 batch = pipeline.shard_batch(batch, self.batch_sharding)
                 rng, step_key = jax.random.split(rng)
                 self.state, stats = self.train_step(self.state, batch, step_key)
-                loss = float(stats["loss"])
-                epoch_loss += loss
+                # Keep the loss as a device scalar: fetching it here would
+                # serialize every step on the host<->device round trip
+                # (~25 ms on tunneled platforms). One stacked transfer at
+                # epoch end syncs the whole epoch.
+                step_losses.append(stats["loss"])
                 batches += 1
-                examples_seen += cfg.batch_size
-                if self.writer:
-                    self.writer.add_scalar("Loss/train", loss, examples_seen)
                 if pbar:
-                    pbar.set_description(f"epoch {epoch + 1} loss {loss:.4f}")
                     pbar.update(1)
             if pbar:
                 pbar.close()
+            import jax.numpy as jnp
+
+            losses_np = np.asarray(jnp.stack(step_losses)) if step_losses else np.zeros(1)
+            for i, loss in enumerate(losses_np):
+                examples_seen += cfg.batch_size
+                if self.writer:
+                    self.writer.add_scalar("Loss/train", float(loss), examples_seen)
+            epoch_loss = float(losses_np.sum())
             mean_loss = epoch_loss / max(batches, 1)
             dt = time.time() - t0
             log.info(

@@ -78,8 +78,26 @@ def onecycle_schedule(
     return torch_onecycle(num_epochs * steps_per_epoch)
 
 
-def make_optimizer(schedule: optax.Schedule, b1: float = 0.5, b2: float = 0.999) -> optax.GradientTransformation:
-    return optax.adam(schedule, b1=b1, b2=b2)
+def make_optimizer(
+    schedule: optax.Schedule,
+    b1: float = 0.5,
+    b2: float = 0.999,
+    clip_grad_norm: float = 0.0,
+    guard_nonfinite: bool = True,
+) -> optax.GradientTransformation:
+    """Adam(b1, b2) under the schedule (reference main.py:236-240), plus two
+    robustness layers the reference lacks: optional global-norm gradient
+    clipping and a non-finite-update guard (a step whose gradients contain
+    NaN/inf is skipped rather than poisoning the parameters — occasional bad
+    steps were observed on flaky accelerator workers)."""
+    chain = []
+    if clip_grad_norm and clip_grad_norm > 0:
+        chain.append(optax.clip_by_global_norm(clip_grad_norm))
+    chain.append(optax.adam(schedule, b1=b1, b2=b2))
+    tx = optax.chain(*chain) if len(chain) > 1 else chain[0]
+    if guard_nonfinite:
+        tx = optax.apply_if_finite(tx, max_consecutive_errors=1000)
+    return tx
 
 
 def create_train_state(

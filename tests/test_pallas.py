@@ -134,3 +134,28 @@ class TestFusedCurveKernel:
         with pltpu.force_tpu_interpret_mode():
             got, _ = curl_curve_layer(img, mask, kl, kr, kh, impl="pallas")
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=5e-5)
+
+
+class TestBF16Apply:
+    def test_bf16_target_through_both_impls(self, rng):
+        """4K-style bf16-activation apply: both impls accept bf16 images and
+        compute in fp32 internally. Note the transform is *inherently*
+        discontinuous in hue (channel-tie argmax), so a handful of pixels can
+        diverge under input quantization — the checks are tight impl
+        agreement plus small 99th-percentile error vs fp32."""
+        img32 = jnp.asarray(rng.uniform(0, 1, (1, 64, 128, 3)).astype(np.float32))
+        img16 = img32.astype(jnp.bfloat16)
+        cs = _coeffs(rng)
+        ref = enhance.trispace_residual(img32, *cs, impl="xla")
+        xla16 = enhance.trispace_residual(img16, *cs, impl="xla")
+        assert xla16.dtype == jnp.bfloat16
+        err = np.abs(np.asarray(xla16.astype(jnp.float32)) - np.asarray(ref))
+        assert np.quantile(err, 0.99) < 0.05, np.quantile(err, 0.99)
+        with pltpu.force_tpu_interpret_mode():
+            pl16 = fused_trispace_residual(img16, *cs)
+        assert pl16.dtype == jnp.bfloat16
+        # Both impls see the same quantized input -> near-exact agreement.
+        agree = np.abs(
+            np.asarray(pl16.astype(jnp.float32)) - np.asarray(xla16.astype(jnp.float32))
+        )
+        assert agree.max() < 0.01, agree.max()

@@ -148,3 +148,50 @@ class TestCheckpoint:
         entries = ckpt_lib.list_checkpoints(str(tmp_path))
         assert len(entries) == 2
         assert ckpt_lib.latest_checkpoint(str(tmp_path)).endswith("epoch_4")
+
+
+class TestTrainerGuards:
+    def test_empty_train_loader_raises(self, tmp_path, rng):
+        from PIL import Image
+
+        from curl_tpu.config import Config
+        from curl_tpu.data import scan_data_dir, select_records
+        from curl_tpu.train.loop import Trainer
+
+        root = tmp_path / "ds"
+        for d in ("d_input", "d_output"):
+            (root / d).mkdir(parents=True)
+        for n in ("1", "2"):
+            arr = rng.uniform(0, 255, (16, 16, 3)).astype(np.uint8)
+            Image.fromarray(arr).save(root / "d_input" / f"{n}.png")
+            Image.fromarray(arr).save(root / "d_output" / f"{n}.png")
+        records = select_records(scan_data_dir(root), ["1", "2"])
+        cfg = Config(backbone="tiny", batch_size=8, crop_h=16, crop_w=16,
+                     log_dirpath=str(tmp_path / "log"))
+        with pytest.raises(ValueError, match="exceeds the 2 training examples"):
+            Trainer(cfg, records, records)
+
+
+class TestModelAxisMesh:
+    def test_train_step_on_4x2_mesh(self, rng):
+        """The reserved tensor-parallel axis must not break the data-parallel
+        step: (data=4, model=2) mesh, batch sharded over data only."""
+        devices = jax.devices("cpu")[:8]
+        mesh = mesh_lib.make_mesh(devices, data=4, model=2)
+        state = _make_state()
+        state = mesh_lib.shard_pytree(state, mesh_lib.replicated(mesh))
+        bsh = mesh_lib.batch_sharding(mesh)
+        step = steps_lib.make_train_step(augment=False)
+        base_batch = _batch(rng, b=8)
+        batch = {
+            k: jax.device_put(v, bsh) if hasattr(v, "ndim") and v.ndim > 0 else v
+            for k, v in base_batch.items()
+        }
+        state, stats = step(state, batch, jax.random.PRNGKey(0))
+        assert np.isfinite(float(stats["loss"]))
+
+        ref_state = _make_state()
+        ref_state, ref_stats = step(ref_state, dict(base_batch), jax.random.PRNGKey(0))
+        np.testing.assert_allclose(
+            float(stats["loss"]), float(ref_stats["loss"]), rtol=1e-5
+        )
