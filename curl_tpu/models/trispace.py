@@ -51,7 +51,10 @@ def _identity_bias(num_coeffs: int) -> tuple:
     hsv = (1e-9, 1e-9, 0.5)
 
     def logit(v):
-        v = float(_np.clip(v, 1e-7, 1.0 - 1e-7))
+        # Floor at ~3e-4 (logit ~ -8): visually still the identity, but the
+        # sigmoid keeps usable gradients (a 1e-9 floor would freeze the HSV
+        # constant terms at ~1e-9 gradient scale).
+        v = float(_np.clip(v, 3e-4, 1.0 - 3e-4))
         return float(_np.log(v / (1.0 - v)))
 
     consts = {
