@@ -74,9 +74,9 @@ def infer(
     )
     arr = np.clip(np.asarray(out[0]) * 255.0, 0, 255).astype(np.uint8)
     if out_path:
-        from PIL import Image
+        from curl_tpu.utils.imageio import save_image_u8
 
-        Image.fromarray(arr).save(out_path)
+        save_image_u8(np.asarray(out[0]), out_path)
     return arr
 
 

@@ -49,6 +49,7 @@ class Config:
     adam_b2: float = 0.999
     lr_epoch_granularity: bool = True
     clip_grad_norm: float = 0.0  # 0 = off
+    curve_reg_weight: float = 1e-4  # slope-smoothness weight (curve model)
     augment: bool = True
 
     # Checkpoint / logging
@@ -70,12 +71,16 @@ class Config:
 def _add_args(parser: argparse.ArgumentParser) -> None:
     for f in dataclasses.fields(Config):
         name = "--" + f.name
+        ann = str(f.type)
         if f.type == "bool" or isinstance(f.default, bool):
             parser.add_argument(
                 name,
                 type=lambda s: s.lower() in ("1", "true", "yes"),
                 default=f.default,
             )
+        elif f.default is None and "int" in ann:
+            # Optional[int] fields (e.g. --mesh_data) must parse as int.
+            parser.add_argument(name, type=int, default=None)
         else:
             typ = {int: int, float: float}.get(type(f.default), str)
             parser.add_argument(name, type=typ, default=f.default)

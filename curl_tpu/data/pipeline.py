@@ -14,9 +14,7 @@ replacement for torch's DistributedSampler (reference main.py:212-218).
 
 from __future__ import annotations
 
-import collections
 import concurrent.futures as cf
-import itertools
 from typing import Iterator, Optional, Sequence
 
 import jax
@@ -118,7 +116,11 @@ class Loader:
                 # fixed shapes; callers see `count` for correct averaging.
                 idxs = [order[p] if p < len(order) else order[p % len(order)] for p in positions]
                 examples = list(pool.map(load_one, idxs, positions))
-                valid = sum(1 for p in positions if p < len(order))
+                # valid_count is over the GLOBAL batch (wrapped padding rows
+                # are at its tail, so row i is real iff i < valid_count) and
+                # must be identical on every process — the jitted eval step
+                # treats it as a replicated scalar.
+                valid = min(self.global_batch, len(order) - b * self.global_batch)
                 batch = {
                     k: np.stack([ex[k] for ex in examples])
                     for k in ("input_img", "output_img", "mask")
@@ -129,18 +131,32 @@ class Loader:
 
 
 def prefetch(iterator: Iterator, size: int = 2) -> Iterator:
-    """Software pipeline: keep `size` batches in flight ahead of the
-    consumer (host->device copy overlap)."""
-    queue = collections.deque()
-    it = iter(iterator)
-    for item in itertools.islice(it, size):
-        queue.append(item)
-    while queue:
-        yield queue.popleft()
+    """Software pipeline: a background thread keeps up to `size` batches
+    decoded ahead of the consumer, so host decode/crop overlaps the device
+    step instead of running serially between steps."""
+    import queue as queue_mod
+    import threading
+
+    q: "queue_mod.Queue" = queue_mod.Queue(maxsize=size)
+    _END = object()
+
+    def producer():
         try:
-            queue.append(next(it))
-        except StopIteration:
-            pass
+            for item in iterator:
+                q.put(item)
+            q.put(_END)
+        except BaseException as e:  # propagate decode errors to the consumer
+            q.put(e)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item
 
 
 def shard_batch(batch: dict, sharding) -> dict:

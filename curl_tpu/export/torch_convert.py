@@ -14,9 +14,10 @@ Weight layout transforms (torch -> flax):
   linear    (O, I)          -> (I, O)
   batchnorm weight/bias/running_mean/running_var -> scale/bias + mean/var
 
-The converter is shape-checked at every assignment and reports all missing/
-unexpected keys at once, so a mismatched architecture fails loudly rather
-than silently.
+The converter reports all missing/unexpected keys at once; array *shape*
+validation against a freshly initialized model happens in the conversion
+CLI (`curl_tpu.cli.convert._validate_shapes`), so a mismatched architecture
+fails loudly rather than surfacing as a cryptic apply()-time error.
 """
 
 from __future__ import annotations

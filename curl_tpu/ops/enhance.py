@@ -43,7 +43,6 @@ def _space_residual(
     return jax.nn.sigmoid(poly.poly_apply(x, cf, degree=degree, num_out=3))
 
 
-@partial(jax.jit, static_argnames=("degree", "spatial", "impl", "tile"))
 def trispace_residual(
     img: Array,
     coeff_rgb: Array,
@@ -63,15 +62,41 @@ def trispace_residual(
 
     `tile`: optional (row_offset, col_offset, total_h, total_w) identifying
     this image as a tile of a larger one — the coordinate planes then use
-    global positions so tiled apply matches whole-image apply exactly.
+    global positions so tiled apply matches whole-image apply exactly. The
+    row offset is a *dynamic* value: successive row bands of a tiled apply
+    share one compiled program (col_offset/total sizes stay static).
     """
     if tile is None:
         tile = (0, 0, img.shape[1], img.shape[2])
+    row0, col0, th, tw = tile
+    row0 = jnp.asarray(row0, jnp.int32)
+    return _trispace_residual_jit(
+        img, coeff_rgb, coeff_lab, coeff_hsv, row0,
+        degree=degree, spatial=spatial, impl=impl, static_tile=(col0, th, tw),
+    )
+
+
+@partial(jax.jit, static_argnames=("degree", "spatial", "impl", "static_tile"))
+def _trispace_residual_jit(
+    img: Array,
+    coeff_rgb: Array,
+    coeff_lab: Array,
+    coeff_hsv: Array,
+    row0: Array,
+    *,
+    degree: int,
+    spatial: bool,
+    impl: str,
+    static_tile: tuple,
+) -> Array:
+    col0, th, tw = static_tile
+    tile = (row0, col0, th, tw)
     if impl == "pallas":
         from curl_tpu.ops.pallas import fused_trispace_residual
 
         return fused_trispace_residual(
-            img, coeff_rgb, coeff_lab, coeff_hsv, degree=degree, spatial=spatial, tile=tile
+            img, coeff_rgb, coeff_lab, coeff_hsv, row0,
+            degree=degree, spatial=spatial, static_tile=static_tile,
         )
     # Low-precision inputs (bf16 activations mode) are storage formats only:
     # the color/polynomial math runs in fp32 — matching the fused kernel's

@@ -65,10 +65,10 @@ def _chain_eval(vars5, coeff_read, degree, num_vars, acc_init):
 
 
 def _make_kernel(degree: int, spatial: bool, width: int, height: int,
-                 row_offset: int, total_h: int, total_w: int, out_dtype):
+                 total_h: int, total_w: int, out_dtype):
     num_vars = 3 + 2 * int(spatial)
 
-    def kernel(coeff_ref, img_ref, out_ref):
+    def kernel(row0_ref, coeff_ref, img_ref, out_ref):
         pid = pl.program_id(1)
         r = img_ref[0, 0].astype(jnp.float32)
         g = img_ref[0, 1].astype(jnp.float32)
@@ -82,9 +82,11 @@ def _make_kernel(degree: int, spatial: bool, width: int, height: int,
                 + jax.lax.broadcasted_iota(jnp.int32, (SUBLANES, LANES), 1)
             )
             col = idx % width
-            row = idx // width + row_offset
+            row = idx // width
             xplane = col.astype(jnp.float32) / total_w
-            yplane = row.astype(jnp.float32) / total_h
+            # Dynamic row offset: one compiled program serves every row band
+            # of a tiled apply.
+            yplane = (row.astype(jnp.float32) + row0_ref[0, 0]) / total_h
             coords = (xplane, yplane)
         else:
             coords = ()
@@ -131,12 +133,13 @@ def _fused_forward(
     coeff_rgb: Array,
     coeff_lab: Array,
     coeff_hsv: Array,
+    row0: Array,
     degree: int,
     spatial: bool,
-    tile: tuple,
+    static_tile: tuple,
 ) -> Array:
     b, h, w, _ = img.shape
-    row0, col0, th, tw = tile
+    col0, th, tw = static_tile
     n = poly.num_monomials(degree, 3 + 2 * int(spatial))
 
     p = h * w
@@ -153,11 +156,13 @@ def _fused_forward(
     coeffs = jnp.concatenate([coeff_rgb, coeff_lab, coeff_hsv], axis=1)  # (B, 9, N)
     coeffs = coeffs.astype(jnp.float32)
 
-    kernel = _make_kernel(degree, spatial, w, h, row0, th, tw, img.dtype)
+    kernel = _make_kernel(degree, spatial, w, h, th, tw, img.dtype)
+    row0_arr = jnp.reshape(row0.astype(jnp.float32), (1, 1))
     call = pl.pallas_call(
         kernel,
         grid=(1, blocks),
         in_specs=[
+            pl.BlockSpec((1, 1), lambda bi, i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 9, n), lambda bi, i: (bi, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec(
                 (1, 3, SUBLANES, LANES),
@@ -180,67 +185,75 @@ def _fused_forward(
     # One kernel launch per image (grid (1, blocks)): large multi-image
     # grids proved unstable on the tunneled v5e worker, and per-image
     # launches cost nothing at these grid sizes.
-    outs = [call(coeffs[i : i + 1], planar[i : i + 1]) for i in range(b)]
+    outs = [call(row0_arr, coeffs[i : i + 1], planar[i : i + 1]) for i in range(b)]
     out = jnp.concatenate(outs, axis=0) if b > 1 else outs[0]
 
     out = out.reshape(b, 3, padded)[:, :, :p].reshape(b, 3, h, w)
     return out.transpose(0, 2, 3, 1)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
-def _fused_vjp(img, c_rgb, c_lab, c_hsv, degree, spatial, tile):
-    return _fused_forward(img, c_rgb, c_lab, c_hsv, degree, spatial, tile)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def _fused_vjp(img, c_rgb, c_lab, c_hsv, row0, degree, spatial, static_tile):
+    return _fused_forward(img, c_rgb, c_lab, c_hsv, row0, degree, spatial, static_tile)
 
 
-def _fused_vjp_fwd(img, c_rgb, c_lab, c_hsv, degree, spatial, tile):
-    out = _fused_forward(img, c_rgb, c_lab, c_hsv, degree, spatial, tile)
-    return out, (img, c_rgb, c_lab, c_hsv)
+def _fused_vjp_fwd(img, c_rgb, c_lab, c_hsv, row0, degree, spatial, static_tile):
+    out = _fused_forward(img, c_rgb, c_lab, c_hsv, row0, degree, spatial, static_tile)
+    return out, (img, c_rgb, c_lab, c_hsv, row0)
 
 
-def _fused_vjp_bwd(degree, spatial, tile, residuals, g):
+def _fused_vjp_bwd(degree, spatial, static_tile, residuals, g):
     # Backward through the mathematically identical XLA implementation —
     # training at crop resolution is backbone/SSIM-dominated, so the fused
     # forward is where the win is.
     from curl_tpu.ops import enhance
 
-    img, c_rgb, c_lab, c_hsv = residuals
+    img, c_rgb, c_lab, c_hsv, row0 = residuals
+    col0, th, tw = static_tile
 
     def ref(im, a, b, c):
         return enhance.trispace_residual(
-            im, a, b, c, degree=degree, spatial=spatial, impl="xla", tile=tile
+            im, a, b, c, degree=degree, spatial=spatial, impl="xla",
+            tile=(row0, col0, th, tw),
         )
 
     _, vjp = jax.vjp(ref, img, c_rgb, c_lab, c_hsv)
-    return vjp(g)
+    return vjp(g) + (jnp.zeros_like(row0, dtype=jnp.float32),)
 
 
 _fused_vjp.defvjp(_fused_vjp_fwd, _fused_vjp_bwd)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("degree", "spatial", "tile")
-)
 def fused_trispace_residual(
     img: Array,
     coeff_rgb: Array,
     coeff_lab: Array,
     coeff_hsv: Array,
+    row0=None,
     *,
     degree: int = 4,
     spatial: bool = True,
+    static_tile: Optional[tuple] = None,
     tile: Optional[tuple] = None,
 ) -> Array:
     """Drop-in fused equivalent of the XLA `trispace_residual` path.
 
-    img: (B, H, W, 3); coeffs: (B, 3, N) each. `tile` = (row_offset,
-    col_offset, total_h, total_w) for row-band tiling (col_offset must be 0
-    and the band must span the full width). Differentiable: the custom VJP
-    routes the backward pass through the XLA implementation.
+    img: (B, H, W, 3); coeffs: (B, 3, N) each. Tiling: either pass `tile` =
+    (row_offset, col_offset, total_h, total_w) like the XLA path, or the
+    split form `row0` (dynamic scalar) + `static_tile` = (col_offset,
+    total_h, total_w). col_offset must be 0 and the band must span the full
+    width. Differentiable: the custom VJP routes the backward pass through
+    the XLA implementation.
     """
     b, h, w, _ = img.shape
-    if tile is None:
-        tile = (0, 0, h, w)
-    row0, col0, th, tw = tile
+    if tile is not None:
+        row0, col0, th, tw = tile
+    elif static_tile is not None:
+        col0, th, tw = static_tile
+        row0 = 0 if row0 is None else row0
+    else:
+        row0, col0, th, tw = 0, 0, h, w
+    row0 = jnp.asarray(row0, jnp.float32)
     if col0 != 0 or tw != w:
         raise NotImplementedError(
             "pallas path tiles over full-width row bands only"
@@ -258,6 +271,8 @@ def fused_trispace_residual(
 
         return enhance.trispace_residual(
             img, coeff_rgb, coeff_lab, coeff_hsv,
-            degree=degree, spatial=spatial, impl="xla", tile=tile,
+            degree=degree, spatial=spatial, impl="xla", tile=(row0, col0, th, tw),
         )
-    return _fused_vjp(img, coeff_rgb, coeff_lab, coeff_hsv, degree, spatial, tile)
+    return _fused_vjp(
+        img, coeff_rgb, coeff_lab, coeff_hsv, row0, degree, spatial, (col0, th, tw)
+    )

@@ -84,15 +84,14 @@ def save_images(
     evaluate.py:50-66). When per-image metrics are given, they are embedded
     in the filename like the reference's bundled inference artifacts
     (`<stem>_PSNR_x.xxx_SSIM_y.yyy.<ext>`)."""
-    from PIL import Image
+    from curl_tpu.utils.imageio import save_image_u8
 
     os.makedirs(out_dir, exist_ok=True)
     for i, name in enumerate(names):
         if psnr is not None and msssim is not None:
             stem, ext = os.path.splitext(name)
             name = f"{stem}_PSNR_{float(psnr[i]):.3f}_SSIM_{float(msssim[i]):.3f}{ext}"
-        arr = np.clip(np.asarray(batch_out[i]) * 255.0, 0, 255).astype(np.uint8)
-        Image.fromarray(arr).save(os.path.join(out_dir, name))
+        save_image_u8(np.asarray(batch_out[i]), os.path.join(out_dir, name))
 
 
 class Evaluator:
@@ -119,6 +118,9 @@ class Evaluator:
             for k, v in stats.items():
                 totals[k] = totals.get(k, 0.0) + float(v)
             if save_outputs and jax.process_index() == 0:
+                if hasattr(enhanced, "is_fully_addressable") and not enhanced.is_fully_addressable:
+                    log.warning("skipping image dump: output not fully addressable on this host")
+                    continue
                 n_valid = int(batch["valid_count"])
                 out_dir = os.path.join(self.log_dirpath, self.split_name, str(epoch + 1))
                 save_images(
@@ -202,7 +204,9 @@ class Trainer:
             log.info("restored checkpoint %s at epoch %d", resume_path, self.start_epoch)
 
         self.train_step = steps_lib.make_train_step(
-            ssim_window=cfg.ssim_window_size, augment=cfg.augment
+            ssim_window=cfg.ssim_window_size,
+            augment=cfg.augment,
+            reg_weight=cfg.curve_reg_weight,
         )
         self.evaluator = Evaluator(cfg, self.valid_loader, "valid", self.log_dirpath)
         self.writer = self._make_writer()

@@ -21,9 +21,22 @@ from curl_tpu.data import augment as aug
 from curl_tpu.models import losses, metrics
 
 
-def make_train_step(ssim_window: int = 11, augment: bool = True) -> Callable:
+def _split_model_output(out):
+    """Models return either the enhanced image or (image, regulariser) — the
+    curve model carries its slope-smoothness term (reference
+    model.py:170-176)."""
+    if isinstance(out, tuple):
+        return out[0], out[1]
+    return out, None
+
+
+def make_train_step(
+    ssim_window: int = 11, augment: bool = True, reg_weight: float = 1e-4
+) -> Callable:
     """Returns jitted `train_step(state, batch, key) -> (state, stats)`.
-    `batch` holds device arrays input_img/output_img/mask."""
+    `batch` holds device arrays input_img/output_img/mask. For models that
+    return a smoothness regulariser (the curve model), its batch mean joins
+    the loss scaled by `reg_weight`."""
 
     @partial(jax.jit, donate_argnums=(0,))
     def train_step(state, batch, key):
@@ -32,14 +45,17 @@ def make_train_step(ssim_window: int = 11, augment: bool = True) -> Callable:
             inp, out, mask = aug.augment_batch(inp, out, mask, key)
 
         def loss_fn(params):
-            enhanced, updates = state.apply_fn(
+            model_out, updates = state.apply_fn(
                 {"params": params, "batch_stats": state.batch_stats},
                 inp,
                 mask,
                 train=True,
                 mutable=["batch_stats"],
             )
+            enhanced, reg = _split_model_output(model_out)
             loss = losses.curl_loss(enhanced, out, mask, ssim_window_size=ssim_window)
+            if reg is not None:
+                loss = loss + reg_weight * jnp.mean(reg)
             return loss, updates
 
         (loss, updates), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
@@ -73,11 +89,13 @@ def make_eval_step(ssim_window: int = 11) -> Callable:
         b = inp.shape[0]
         valid = (jnp.arange(b) < valid_count).astype(jnp.float32)
 
-        enhanced = state.apply_fn(
-            {"params": state.params, "batch_stats": state.batch_stats},
-            inp,
-            mask,
-            train=False,
+        enhanced, _ = _split_model_output(
+            state.apply_fn(
+                {"params": state.params, "batch_stats": state.batch_stats},
+                inp,
+                mask,
+                train=False,
+            )
         )
         loss_i = _per_image_loss(enhanced, out, mask, ssim_window)
         psnr_i = metrics.psnr_per_image(out, enhanced, mask)

@@ -39,25 +39,37 @@ class TestConvertCLI:
             ]
         )
 
-        # Restore through orbax and compare forwards.
-        import orbax.checkpoint as ocp
+        # Restore through the SAME path every CLI uses (ckpt_lib.restore with
+        # a full train-state template) and compare forwards.
+        from curl_tpu.train import checkpoint as ckpt_lib
+        from curl_tpu.train import state as state_lib
 
-        template = {
-            "params": jax.tree_util.tree_map(
-                ocp.utils.to_shape_dtype_struct, variables["params"]
-            ),
-            "batch_stats": jax.tree_util.tree_map(
-                ocp.utils.to_shape_dtype_struct, variables["batch_stats"]
-            ),
-            "epoch": 0,
-        }
-        with ocp.StandardCheckpointer() as ckptr:
-            restored = ckptr.restore(str(out_dir), template)
-        assert restored["epoch"] == 7
+        tx = state_lib.make_optimizer(state_lib.onecycle_schedule(1, 1))
+        template = state_lib.create_train_state(
+            net, jax.random.PRNGKey(1),
+            np.zeros((1, 32, 32, 3), np.float32),
+            np.ones((1, 32, 32, 1), np.float32), tx,
+        )
+        restored, epoch = ckpt_lib.restore(str(out_dir), template)
+        assert epoch == 7
         out_src = net.apply(variables, img, mask)
         out_conv = net.apply(
-            {"params": restored["params"], "batch_stats": restored["batch_stats"]},
+            {"params": restored.params, "batch_stats": restored.batch_stats},
             img,
             mask,
         )
         np.testing.assert_allclose(np.asarray(out_conv), np.asarray(out_src), atol=1e-6)
+
+    def test_shape_mismatch_fails_loudly(self, rng, tmp_path):
+        net = TriSpacePolyNet(backbone="tiny")
+        img = jnp.zeros((1, 32, 32, 3))
+        mask = jnp.ones((1, 32, 32, 1))
+        variables = net.init(jax.random.PRNGKey(0), img, mask)
+        sd = torch_convert.export_trispace_state_dict(variables, bb.TINY)
+        # Corrupt one layer's width.
+        k = "backbone.conv_stem.weight"
+        sd[k] = np.zeros((16,) + sd[k].shape[1:], np.float32)
+        pt_path = tmp_path / "bad.pt"
+        torch.save({"model_state_dict": {kk: torch.from_numpy(np.ascontiguousarray(v)) for kk, v in sd.items()}}, pt_path)
+        with pytest.raises(ValueError, match="shape mismatch|does not fit"):
+            convert_cli.convert(str(pt_path), str(tmp_path / "out"), backbone="tiny")

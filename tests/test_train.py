@@ -195,3 +195,26 @@ class TestModelAxisMesh:
         np.testing.assert_allclose(
             float(stats["loss"]), float(ref_stats["loss"]), rtol=1e-5
         )
+
+
+class TestCurveModelTraining:
+    def test_train_and_eval_steps_with_curve_model(self, rng):
+        """Regression: tuple-returning models (image, regulariser) must train
+        and evaluate; the regulariser joins the loss."""
+        model = models.CurlCurveNet(backbone="tiny")
+        tx = state_lib.make_optimizer(state_lib.onecycle_schedule(10, 2))
+        img = np.zeros((1, 32, 32, 3), np.float32)
+        mask = np.ones((1, 32, 32, 1), np.float32)
+        state = state_lib.create_train_state(model, jax.random.PRNGKey(0), img, mask, tx)
+        step = steps_lib.make_train_step(augment=False, reg_weight=1e-4)
+        batch = _batch(rng)
+        losses = []
+        for i in range(4):
+            state, stats = step(state, dict(batch), jax.random.PRNGKey(i))
+            losses.append(float(stats["loss"]))
+        assert all(np.isfinite(losses))
+        assert losses[-1] < losses[0]
+
+        estep = steps_lib.make_eval_step()
+        stats = estep(state, _batch(rng, b=2))
+        assert np.isfinite(float(stats["loss_sum"]))
