@@ -34,8 +34,9 @@ class Config:
     num_hsv_points: int = 64
     residual_impl: str = "xla"  # xla | pallas
     curve_impl: str = "xla"  # xla | pallas (curve model fused pass)
-    param_dtype: str = "float32"
     compute_dtype: str = "float32"  # float32 | bfloat16 (backbone fast mode)
+    # NOTE: parameters are always fp32 (the right TPU recipe at this model
+    # scale: fp32 master weights, optional bf16 compute via compute_dtype).
     identity_init: bool = False  # initialize model as the identity transform
 
     # Loss / metrics

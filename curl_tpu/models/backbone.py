@@ -12,9 +12,10 @@ EfficientNetV2 block zoo natively:
     squeeze-excite, 1x1 project,
 
 with stage configs for the rw_t / rw_s variants plus a tiny config for fast
-tests. NHWC throughout; convs are padded SAME-style with the asymmetric
-(left-light) padding PyTorch uses for stride-2 3x3 convs so converted torch
-checkpoints reproduce activations exactly.
+tests. NHWC throughout; convs use explicit symmetric k//2 padding (timm's
+torch behavior — which differs from XLA's SAME, asymmetric right-heavy for
+stride-2 odd kernels) so converted torch checkpoints reproduce activations
+exactly.
 
 Batch statistics can be synchronized across data-parallel replicas by
 passing `bn_axis_name` (the TPU-native replacement for SyncBatchNorm,

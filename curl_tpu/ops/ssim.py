@@ -112,10 +112,14 @@ def ms_ssim(
     # (metric.py:198-201) but contrast-structure values can dip below -1,
     # and a negative base under the fractional weights then yields NaN. The
     # reference's own comments call for "Relu normalize" (metric.py:188)
-    # without applying it — the floor at 0 implements that intent (only
-    # differs from the reference where it would have produced NaN).
-    ssims_arr = jnp.maximum((jnp.stack(ssims, axis=1) + 1.0) / 2.0, 0.0)  # (B, L)
-    mcs_arr = jnp.maximum((jnp.stack(mcs, axis=1) + 1.0) / 2.0, 0.0)
+    # without applying it — the floor implements that intent (only differs
+    # from the reference where it would have produced NaN). The floor is a
+    # small epsilon, not 0: d/dx x**w -> inf as x -> 0 for fractional w, so
+    # a 0 floor makes the *backward* pass produce inf*0 = NaN when the clamp
+    # binds, poisoning training gradients even though the forward is finite.
+    eps = jnp.asarray(1e-6, img1.dtype)
+    ssims_arr = jnp.maximum((jnp.stack(ssims, axis=1) + 1.0) / 2.0, eps)  # (B, L)
+    mcs_arr = jnp.maximum((jnp.stack(mcs, axis=1) + 1.0) / 2.0, eps)
 
     pow_mcs = mcs_arr**weights
     pow_ssim = ssims_arr**weights

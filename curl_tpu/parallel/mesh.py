@@ -46,13 +46,30 @@ def make_mesh(
 
 def auto_mesh(batch_size: int, model: int = 1, devices=None) -> Mesh:
     """Mesh whose data axis is the largest device count that divides the
-    global batch (unused devices stay idle rather than erroring)."""
+    global batch. If the batch doesn't divide evenly (e.g. batch 7 on an
+    8-chip slice would silently train on ONE chip), warn loudly — callers
+    should pad the global batch with `pad_batch_size` instead of idling
+    hardware."""
     import math
+    import warnings
 
     devices = list(devices if devices is not None else jax.devices())
     avail = len(devices) // model
     data = math.gcd(batch_size, avail) if avail else 1
+    if 1 < data * model < len(devices) or (data == 1 and len(devices) > model):
+        warnings.warn(
+            f"auto_mesh: global batch {batch_size} only divides onto {data} of "
+            f"{avail} available data-parallel devices — {avail - data} device(s) "
+            f"will sit IDLE. Pad the batch to {pad_batch_size(batch_size, avail)} "
+            "(see pad_batch_size) or pass a divisible batch size.",
+            stacklevel=2,
+        )
     return make_mesh(devices[: data * model], data=data, model=model)
+
+
+def pad_batch_size(batch_size: int, n_devices: int) -> int:
+    """Smallest multiple of `n_devices` >= batch_size."""
+    return ((batch_size + n_devices - 1) // n_devices) * n_devices
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

@@ -54,10 +54,17 @@ def save(
 
 
 def _prune(ckpt_dir: str, keep: int) -> None:
-    if jax.process_index() != 0:
+    """Prune to the newest `keep` by epoch, but NEVER delete the
+    best-valid-PSNR checkpoint — the best-model-selection capability the
+    reference intended but left unwired (main.py:252,325 assigns
+    `best_valid_psnr` without using it)."""
+    if jax.process_index() != 0 or keep <= 0:
         return
     entries = list_checkpoints(ckpt_dir)
-    for path, _ in entries[:-keep] if keep > 0 else []:
+    best = best_checkpoint(ckpt_dir)
+    for path, _ in entries[:-keep]:
+        if path == best:
+            continue
         import shutil
 
         shutil.rmtree(path, ignore_errors=True)
@@ -80,9 +87,39 @@ def latest_checkpoint(ckpt_dir: str) -> Optional[str]:
     return entries[-1][0] if entries else None
 
 
+def best_checkpoint(ckpt_dir: str) -> Optional[str]:
+    """Path of the highest-valid-PSNR checkpoint (ties -> newest epoch);
+    None if the directory has no parseable-PSNR checkpoints."""
+    if not os.path.isdir(ckpt_dir):
+        return None
+    best: Optional[tuple[float, int, str]] = None
+    for d in os.listdir(ckpt_dir):
+        m = _NAME_RE.match(d)
+        if not m:
+            continue
+        try:
+            psnr = float(m.group("psnr"))
+        except ValueError:  # malformed
+            continue
+        if psnr != psnr:  # NaN would win every comparison vacuously
+            continue
+        key = (psnr, int(m.group("epoch")))
+        if best is None or key > best[:2]:
+            best = (*key, os.path.join(ckpt_dir, d))
+    return best[2] if best else None
+
+
 def restore(path: str, template: TrainState) -> tuple[TrainState, int]:
     """Restore into the shape/sharding of `template`. Returns
-    (state, start_epoch)."""
+    (state, start_epoch).
+
+    If the saved optimizer tree's *structure* doesn't match the template's
+    (e.g. a checkpoint converted from torch carries a plain-Adam opt_state
+    but the trainer was configured with --clip_grad_norm, adding a chain
+    stage), fall back to restoring params/batch_stats/step/epoch only and
+    keep the template's freshly initialized optimizer state, with a loud
+    warning — instead of surfacing orbax's cryptic tree-structure error.
+    """
     abstract = {
         "params": jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct, template.params),
         "batch_stats": jax.tree_util.tree_map(
@@ -95,11 +132,33 @@ def restore(path: str, template: TrainState) -> tuple[TrainState, int]:
         "epoch": 0,
     }
     with ocp.StandardCheckpointer() as ckptr:
-        payload = ckptr.restore(os.path.abspath(path), abstract)
+        try:
+            payload = ckptr.restore(os.path.abspath(path), abstract)
+            opt_state = payload["opt_state"]
+        except Exception:
+            # Rebuild the abstract opt_state from the checkpoint's own
+            # metadata so the restore succeeds, then discard it.
+            meta = ckptr.metadata(os.path.abspath(path))
+            meta_tree = getattr(meta, "item_metadata", meta)
+            abstract["opt_state"] = jax.tree_util.tree_map(
+                lambda m: jax.ShapeDtypeStruct(tuple(m.shape), m.dtype),
+                meta_tree["opt_state"],
+            )
+            payload = ckptr.restore(os.path.abspath(path), abstract)
+            opt_state = template.opt_state
+            import logging
+
+            logging.getLogger("curl_tpu").warning(
+                "checkpoint %s has an optimizer-state tree incompatible with "
+                "the configured optimizer (e.g. converted checkpoint vs "
+                "--clip_grad_norm); optimizer state was RE-INITIALIZED — "
+                "params/batch_stats/step/epoch restored normally.",
+                path,
+            )
     state = template.replace(
         params=payload["params"],
         batch_stats=payload["batch_stats"],
-        opt_state=payload["opt_state"],
+        opt_state=opt_state,
         step=payload["step"],
     )
     return state, int(payload["epoch"])

@@ -10,7 +10,7 @@ supporting the smoother per-step schedule too.
 
 from __future__ import annotations
 
-from typing import Callable
+from typing import Any, Callable
 
 import flax.struct
 import jax

@@ -149,6 +149,71 @@ class TestCheckpoint:
         assert len(entries) == 2
         assert ckpt_lib.latest_checkpoint(str(tmp_path)).endswith("epoch_4")
 
+    def test_prune_keeps_best_psnr(self, rng, tmp_path):
+        """The best-valid-PSNR checkpoint must survive pruning even when it
+        is not among the newest `keep` (reference intent main.py:252,325)."""
+        state = _make_state()
+        # Best PSNR lands at epoch 1, then quality regresses.
+        for e, psnr in enumerate([30.0, 21.0, 22.0, 23.0]):
+            ckpt_lib.save(str(tmp_path), state, epoch=e + 1, valid_psnr=psnr,
+                          valid_loss=0.1, keep=2)
+        best = ckpt_lib.best_checkpoint(str(tmp_path))
+        assert best is not None and "validpsnr_30.000" in best
+        entries = ckpt_lib.list_checkpoints(str(tmp_path))
+        # newest 2 + the protected best = 3
+        assert len(entries) == 3
+        assert any(p == best for p, _ in entries)
+
+    def test_restore_reinitializes_mismatched_opt_state(self, rng, tmp_path):
+        """A checkpoint saved with a plain-Adam opt_state must restore into a
+        trainer configured with grad clipping (extra optax chain stage) by
+        falling back to a fresh optimizer state instead of erroring."""
+        state = _make_state()  # default optimizer, no clip stage
+        step = steps_lib.make_train_step(augment=False)
+        state, _ = step(state, _batch(rng), jax.random.PRNGKey(0))
+        path = ckpt_lib.save(str(tmp_path), state, epoch=2, valid_psnr=20.0,
+                             valid_loss=0.1)
+
+        tx_clip = state_lib.make_optimizer(
+            state_lib.onecycle_schedule(10, 2), clip_grad_norm=1.0
+        )
+        template = _make_state(tx=tx_clip)
+        restored, start_epoch = ckpt_lib.restore(path, template)
+        assert start_epoch == 2
+        assert int(restored.step) == int(state.step)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(state.params),
+            jax.tree_util.tree_leaves(restored.params),
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # Fresh opt_state matches the clipping template's structure, so a
+        # step under the new optimizer runs.
+        restored, stats = steps_lib.make_train_step(augment=False)(
+            restored, _batch(rng), jax.random.PRNGKey(1)
+        )
+        assert np.isfinite(float(stats["loss"]))
+
+
+class TestAutoMesh:
+    def test_warns_when_devices_idle(self):
+        """Global batch 7 on 8 devices would train on ONE chip — must warn."""
+        devices = jax.devices("cpu")[:8]
+        with pytest.warns(UserWarning, match="IDLE"):
+            mesh = mesh_lib.auto_mesh(7, devices=devices)
+        assert mesh.devices.size == 1
+
+    def test_no_warning_when_divisible(self, recwarn):
+        devices = jax.devices("cpu")[:8]
+        mesh = mesh_lib.auto_mesh(16, devices=devices)
+        assert mesh.devices.size == 8
+        assert not [w for w in recwarn if "IDLE" in str(w.message)]
+
+    def test_pad_batch_size(self):
+        assert mesh_lib.pad_batch_size(7, 8) == 8
+        assert mesh_lib.pad_batch_size(8, 8) == 8
+        assert mesh_lib.pad_batch_size(9, 8) == 16
+        assert mesh_lib.pad_batch_size(1, 8) == 8
+
 
 class TestTrainerGuards:
     def test_empty_train_loader_raises(self, tmp_path, rng):
