@@ -63,13 +63,28 @@ def convert(
     polynomial_order: int = 4,
     spatial: bool = True,
     validate: bool = True,
+    pretrained_backbone: bool = False,
+    identity_init: bool = False,
 ) -> str:
+    """Two modes:
+      * default: the .pt is a full trained TriSpaceRegNet checkpoint
+        (reference main.py:319-338 layout) — everything converted.
+      * pretrained_backbone: the .pt is a RAW timm `efficientnetv2_rw_*`
+        ImageNet checkpoint (no `backbone.` prefix, single-Linear
+        classifier); only the backbone is converted, head/poly stay at
+        fresh initialization — the reference's `pretrained=True` start
+        (model.py:456). `identity_init` additionally makes the fresh head
+        start as the identity transform.
+    """
     import torch
 
     import jax
     import orbax.checkpoint as ocp
 
-    from curl_tpu.export.torch_convert import convert_trispace_state_dict
+    from curl_tpu.export.torch_convert import (
+        convert_trispace_state_dict,
+        init_with_pretrained_backbone,
+    )
     from curl_tpu.models import TriSpacePolyNet
     from curl_tpu.models import backbone as bb
     from curl_tpu.train import state as state_lib
@@ -77,18 +92,29 @@ def convert(
     payload = torch.load(torch_checkpoint, map_location="cpu", weights_only=False)
     state_dict = payload.get("model_state_dict", payload)
     num_in = 3 + 2 * int(spatial)
-    variables = convert_trispace_state_dict(
-        state_dict,
-        backbone_cfg=bb.CONFIGS[backbone],
-        polynomial_order=polynomial_order,
-        num_in=num_in,
-    )
     model = TriSpacePolyNet(
-        polynomial_order=polynomial_order, spatial=spatial, backbone=backbone
+        polynomial_order=polynomial_order, spatial=spatial, backbone=backbone,
+        identity_init=identity_init,
     )
+    if pretrained_backbone:
+        variables = init_with_pretrained_backbone(
+            model,
+            jax.random.PRNGKey(0),
+            np.zeros((1, 64, 64, 3), np.float32),
+            np.ones((1, 64, 64, 1), np.float32),
+            state_dict,
+        )
+        epoch = 0
+    else:
+        variables = convert_trispace_state_dict(
+            state_dict,
+            backbone_cfg=bb.CONFIGS[backbone],
+            polynomial_order=polynomial_order,
+            num_in=num_in,
+        )
+        epoch = int(payload.get("epoch", 0)) if isinstance(payload, dict) else 0
     if validate:
         _validate_shapes(variables, model)
-    epoch = int(payload.get("epoch", 0)) if isinstance(payload, dict) else 0
 
     # Full training-state layout so ckpt_lib.restore (used by every CLI)
     # loads it directly; the optimizer state is freshly initialized.
@@ -118,6 +144,16 @@ def main(argv=None) -> None:
         "--validate", type=lambda s: s.lower() in ("1", "true"), default=True,
         help="check every converted array shape against the model",
     )
+    ap.add_argument(
+        "--pretrained_backbone", action="store_true",
+        help="the .pt is a raw timm ImageNet checkpoint: convert only the "
+        "backbone, leave the head freshly initialized",
+    )
+    ap.add_argument(
+        "--identity_init", action="store_true",
+        help="with --pretrained_backbone: start the fresh head as the "
+        "identity transform",
+    )
     args = ap.parse_args(argv)
     path = convert(
         args.torch_checkpoint,
@@ -126,6 +162,8 @@ def main(argv=None) -> None:
         polynomial_order=args.polynomial_order,
         spatial=args.spatial,
         validate=args.validate,
+        pretrained_backbone=args.pretrained_backbone,
+        identity_init=args.identity_init,
     )
     print(f"wrote {path}")
 

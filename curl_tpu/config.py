@@ -38,6 +38,10 @@ class Config:
     # NOTE: parameters are always fp32 (the right TPU recipe at this model
     # scale: fp32 master weights, optional bf16 compute via compute_dtype).
     identity_init: bool = False  # initialize model as the identity transform
+    # Path to a raw timm EfficientNetV2 ImageNet .pt: initialize the backbone
+    # from it before training (the reference's `pretrained=True` start,
+    # model.py:456). Head/polynomial params stay freshly initialized.
+    pretrained_backbone: Optional[str] = None
 
     # Loss / metrics
     ssim_window_size: int = 11

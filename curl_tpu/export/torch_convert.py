@@ -141,6 +141,151 @@ def _map_backbone(builder: _TreeBuilder, sd: Mapping, cfg: bb.BackboneCfg, prefi
     return consumed
 
 
+def timm_key_shapes(
+    cfg: bb.BackboneCfg, num_classes: int = 1000
+) -> dict[str, tuple[int, ...]]:
+    """The expected key -> shape inventory of a raw timm EfficientNetV2
+    state_dict (e.g. `efficientnetv2_rw_t` ImageNet weights, the model the
+    reference fine-tunes from — reference model.py:456 `pretrained=True`),
+    derived by replaying the block channel flow.
+
+    Pinned as committed JSON fixtures under tests/fixtures/ so any topology
+    drift between this backbone and real timm (stride placement, SE
+    reduction base, head layout) fails in CI instead of at a user's
+    conversion time.
+    """
+    shapes: dict[str, tuple[int, ...]] = {}
+
+    def bn(key: str, ch: int) -> None:
+        for s in ("weight", "bias", "running_mean", "running_var"):
+            shapes[f"{key}.{s}"] = (ch,)
+        shapes[f"{key}.num_batches_tracked"] = ()
+
+    shapes["conv_stem.weight"] = (cfg.stem_channels, 3, 3, 3)
+    bn("bn1", cfg.stem_channels)
+    in_ch = cfg.stem_channels
+    for si, stage in enumerate(cfg.blocks):
+        for bi in range(stage.repeats):
+            t = f"blocks.{si}.{bi}"
+            k, out = stage.kernel, stage.channels
+            mid = in_ch * stage.expand
+            if stage.kind == "cn":
+                shapes[f"{t}.conv.weight"] = (out, in_ch, k, k)
+                bn(f"{t}.bn1", out)
+            elif stage.kind == "er":
+                shapes[f"{t}.conv_exp.weight"] = (mid, in_ch, k, k)
+                bn(f"{t}.bn1", mid)
+                shapes[f"{t}.conv_pwl.weight"] = (out, mid, 1, 1)
+                bn(f"{t}.bn2", out)
+            else:  # ir
+                shapes[f"{t}.conv_pw.weight"] = (mid, in_ch, 1, 1)
+                bn(f"{t}.bn1", mid)
+                shapes[f"{t}.conv_dw.weight"] = (mid, 1, k, k)
+                bn(f"{t}.bn2", mid)
+                if stage.se_ratio > 0:
+                    # timm SE reduction is computed from the block INPUT
+                    # width (reduced_base_chs=in_chs), not the expanded one.
+                    red = max(1, int(in_ch * stage.se_ratio))
+                    shapes[f"{t}.se.conv_reduce.weight"] = (red, mid, 1, 1)
+                    shapes[f"{t}.se.conv_reduce.bias"] = (red,)
+                    shapes[f"{t}.se.conv_expand.weight"] = (mid, red, 1, 1)
+                    shapes[f"{t}.se.conv_expand.bias"] = (mid,)
+                shapes[f"{t}.conv_pwl.weight"] = (out, mid, 1, 1)
+                bn(f"{t}.bn3", out)
+            in_ch = out
+    shapes["conv_head.weight"] = (cfg.num_features, in_ch, 1, 1)
+    bn("bn2", cfg.num_features)
+    shapes["classifier.weight"] = (num_classes, cfg.num_features)
+    shapes["classifier.bias"] = (num_classes,)
+    return shapes
+
+
+def convert_timm_backbone_state_dict(
+    state_dict: Mapping[str, Any],
+    backbone_cfg: bb.BackboneCfg = bb.EFFICIENTNETV2_RW_T,
+) -> dict[str, Any]:
+    """Raw timm EfficientNetV2 ImageNet state_dict (NO `backbone.` prefix,
+    single-Linear `classifier`) -> {'params': {'backbone_net': ...},
+    'batch_stats': {'backbone_net': ...}}.
+
+    This is the pretrained-initialization path: the reference trains from
+    timm `pretrained=True` (model.py:456) — its recipe (peak lr 1e-4 on
+    2,250 images) only makes sense fine-tuning ImageNet features. The
+    classifier head is intentionally NOT converted (our model replaces it
+    with the MLP head, freshly initialized).
+
+    Every key must be either consumed or the ImageNet classifier; arrays are
+    shape-checked against the expected timm inventory so a topology mismatch
+    fails loudly here instead of inside apply().
+    """
+    sd = strip_ddp_prefix(state_dict)
+    # timm .pt files sometimes nest the weights.
+    for nest in ("state_dict", "model"):
+        if nest in sd and isinstance(sd[nest], Mapping):
+            sd = strip_ddp_prefix(sd[nest])
+
+    expected = timm_key_shapes(backbone_cfg)
+    builder = _TreeBuilder()
+    for k, v in sd.items():
+        if k in ("classifier.weight", "classifier.bias"):
+            continue
+        exp = expected.get(k)
+        if exp is not None and tuple(np.shape(_to_np(v))) != exp:
+            builder.errors.append(
+                f"shape mismatch {k}: checkpoint {tuple(np.shape(_to_np(v)))} "
+                f"vs expected timm {exp}"
+            )
+    consumed = _map_backbone(builder, sd, backbone_cfg, "", "backbone_net")
+    consumed.update({"classifier.weight", "classifier.bias"})
+    unexpected = sorted(set(sd) - consumed)
+    if unexpected:
+        builder.errors.append(
+            f"unconsumed timm keys: {unexpected[:10]}{'...' if len(unexpected) > 10 else ''}"
+        )
+    if builder.errors:
+        raise ValueError(
+            "timm backbone conversion failed:\n  " + "\n  ".join(builder.errors)
+        )
+    return {"params": builder.params, "batch_stats": builder.batch_stats}
+
+
+def init_with_pretrained_backbone(model, rng, sample_img, sample_mask, timm_state_dict):
+    """Initialize `model` fresh, then overwrite its backbone subtree with
+    converted timm ImageNet weights. Head/polynomial params stay at their
+    fresh initialization. Returns the full variables dict."""
+    import flax
+
+    cfg = model.backbone
+    if isinstance(cfg, str):
+        cfg = bb.CONFIGS[cfg]
+    converted = convert_timm_backbone_state_dict(timm_state_dict, cfg)
+    variables = model.init(rng, sample_img, sample_mask)
+    variables = flax.core.unfreeze(variables) if hasattr(variables, "unfreeze") else dict(variables)
+
+    def graft(dst: dict, src: dict, col: str) -> None:
+        flat_dst = flax.traverse_util.flatten_dict(dst, sep="/")
+        flat_src = flax.traverse_util.flatten_dict(src, sep="/")
+        missing = [k for k in flat_src if k not in flat_dst]
+        if missing:
+            raise ValueError(f"{col}: converted keys absent from model: {missing[:10]}")
+        for k, v in flat_src.items():
+            if tuple(np.shape(flat_dst[k])) != tuple(np.shape(v)):
+                raise ValueError(
+                    f"{col}/{k}: model {np.shape(flat_dst[k])} vs timm {np.shape(v)}"
+                )
+            flat_dst[k] = v.astype(np.asarray(flat_dst[k]).dtype)
+        dst.clear()
+        dst.update(flax.traverse_util.unflatten_dict(flat_dst, sep="/"))
+
+    params = dict(variables["params"])
+    stats = dict(variables.get("batch_stats", {}))
+    graft(params, converted["params"], "params")
+    graft(stats, converted["batch_stats"], "batch_stats")
+    variables["params"] = params
+    variables["batch_stats"] = stats
+    return variables
+
+
 def convert_trispace_state_dict(
     state_dict: Mapping[str, Any],
     backbone_cfg: bb.BackboneCfg = bb.EFFICIENTNETV2_RW_T,

@@ -191,6 +191,11 @@ class Trainer:
         self.state = state_lib.create_train_state(
             self.model, jax.random.PRNGKey(cfg.seed), sample, sample_mask, tx
         )
+        if cfg.pretrained_backbone:
+            self.state = self._load_pretrained_backbone(
+                cfg.pretrained_backbone, sample, sample_mask, tx
+            )
+            log.info("initialized backbone from timm weights %s", cfg.pretrained_backbone)
         self.state = mesh_lib.shard_pytree(self.state, self.replicated)
         self.start_epoch = 0
 
@@ -211,6 +216,25 @@ class Trainer:
         self.evaluator = Evaluator(cfg, self.valid_loader, "valid", self.log_dirpath)
         self.writer = self._make_writer()
         log.info("params: %.2fM", state_lib.param_count(self.state) / 1e6)
+
+    def _load_pretrained_backbone(self, pt_path, sample, sample_mask, tx):
+        """Replace the fresh state's backbone params/batch_stats with
+        converted timm ImageNet weights (reference model.py:456
+        `pretrained=True`); re-init the optimizer over the new params."""
+        import torch
+
+        from curl_tpu.export.torch_convert import init_with_pretrained_backbone
+
+        payload = torch.load(pt_path, map_location="cpu", weights_only=False)
+        variables = init_with_pretrained_backbone(
+            self.model, jax.random.PRNGKey(self.cfg.seed), sample, sample_mask,
+            payload,
+        )
+        return self.state.replace(
+            params=variables["params"],
+            batch_stats=variables["batch_stats"],
+            opt_state=tx.init(variables["params"]),
+        )
 
     def _make_writer(self):
         if jax.process_index() != 0:
