@@ -1,0 +1,107 @@
+"""Deployment-export CLI — counterpart of the reference's
+`python coreml_conversion.py --model_file ... --out_file ...`
+(/root/reference/coreml_conversion.py:9-43).
+
+  python -m curl_tpu.cli.export --checkpoint_dir log_x/checkpoints/curl_... \
+      --out_path enhancer.tflite [--format tflite|stablehlo] \
+      [--target_h 1000 --target_w 1000] [--smoke_test]
+
+tflite: a flatbuffer the TFLite interpreter runs with no jax (mobile/serving
+artifact; fixed target resolution). stablehlo: the portable exchange format
+(symbolic target dims). --smoke_test converts then executes the artifact on
+random inputs and checks against the jax forward, like the reference's
+MLModel predict (coreml_conversion.py:40-43).
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+
+
+def export(
+    checkpoint_dir: str,
+    out_path: str,
+    fmt: str = "tflite",
+    backbone: str = "efficientnetv2_rw_t",
+    backbone_size: int = 320,
+    target_h: int = 1000,
+    target_w: int = 1000,
+    smoke_test: bool = False,
+) -> str:
+    import jax
+
+    from curl_tpu.config import Config
+    from curl_tpu.export import stablehlo as hlo_lib
+    from curl_tpu.export import tflite as tflite_lib
+    from curl_tpu.train import checkpoint as ckpt_lib
+    from curl_tpu.train import loop as loop_lib
+    from curl_tpu.train import state as state_lib
+
+    cfg = Config(backbone=backbone)
+    model = loop_lib.build_model(cfg)
+    tx = state_lib.make_optimizer(state_lib.onecycle_schedule(1, 1))
+    s = backbone_size
+    sample = np.zeros((1, s, s, 3), np.float32)
+    sample_mask = np.ones((1, s, s, 1), np.float32)
+    state = state_lib.create_train_state(
+        model, jax.random.PRNGKey(0), sample, sample_mask, tx
+    )
+    state, _ = ckpt_lib.restore(checkpoint_dir, state)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+    if fmt == "tflite":
+        tflite_lib.export_tflite(
+            model, variables, out_path,
+            backbone_size=s, target_hw=(target_h, target_w),
+        )
+    elif fmt == "stablehlo":
+        exported = hlo_lib.export_enhancer(model, variables, backbone_size=s)
+        hlo_lib.save(exported, out_path)
+    else:
+        raise ValueError(f"unknown format {fmt!r}")
+
+    if smoke_test:
+        rng = np.random.default_rng(0)
+        img = rng.uniform(0, 1, (1, s, s, 3)).astype(np.float32)
+        mask = np.ones((1, s, s, 1), np.float32)
+        target = rng.uniform(0, 1, (1, target_h, target_w, 3)).astype(np.float32)
+        direct = np.asarray(model.apply(variables, img, mask, target))
+        if fmt == "tflite":
+            got = tflite_lib.run_tflite(out_path, img, mask, target)
+        else:
+            got = np.asarray(hlo_lib.load(out_path).call(img, mask, target))
+        err = float(np.abs(got - direct).max())
+        if err > 1e-3:
+            raise AssertionError(f"smoke test failed: max |artifact - jax| = {err}")
+        print(f"smoke test ok: max |artifact - jax| = {err:.2e}")
+    return out_path
+
+
+def main(argv=None) -> None:
+    ap = argparse.ArgumentParser(description="Export a deployment artifact")
+    ap.add_argument("--checkpoint_dir", required=True, help="orbax checkpoint directory")
+    ap.add_argument("--out_path", required=True)
+    ap.add_argument("--format", default="tflite", choices=["tflite", "stablehlo"])
+    ap.add_argument("--backbone", default="efficientnetv2_rw_t")
+    ap.add_argument("--backbone_size", type=int, default=320)
+    ap.add_argument("--target_h", type=int, default=1000)
+    ap.add_argument("--target_w", type=int, default=1000)
+    ap.add_argument("--smoke_test", action="store_true")
+    args = ap.parse_args(argv)
+    path = export(
+        args.checkpoint_dir,
+        args.out_path,
+        fmt=args.format,
+        backbone=args.backbone,
+        backbone_size=args.backbone_size,
+        target_h=args.target_h,
+        target_w=args.target_w,
+        smoke_test=args.smoke_test,
+    )
+    print(f"wrote {path}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,6 +1,8 @@
 """Export-layer tests: torch checkpoint conversion round-trip and StableHLO
 export/reload."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -92,3 +94,29 @@ class TestStableHLO:
             out = reloaded.call(img, mask, target)
             direct = net.apply(variables, img, mask, target)
             np.testing.assert_allclose(np.asarray(out), np.asarray(direct), atol=1e-5)
+
+
+class TestTFLite:
+    def test_export_and_run_outside_jax(self, tiny_variables, rng, tmp_path):
+        """The deployment artifact: jax2tf -> TFLite flatbuffer, executed by
+        the TFLite interpreter with no jax in the loop, matching the direct
+        jax forward — the analog of the reference's CoreML convert + smoke
+        predict (coreml_conversion.py:30-43)."""
+        tf = pytest.importorskip("tensorflow")
+        del tf
+        from curl_tpu.export import tflite as tflite_lib
+
+        net, variables = tiny_variables
+        path = str(tmp_path / "enhancer.tflite")
+        tflite_lib.export_tflite(
+            net, variables, path, backbone_size=32, target_hw=(48, 40)
+        )
+        assert os.path.getsize(path) > 1000
+
+        img = rng.uniform(0, 1, (1, 32, 32, 3)).astype(np.float32)
+        mask = np.ones((1, 32, 32, 1), np.float32)
+        target = rng.uniform(0, 1, (1, 48, 40, 3)).astype(np.float32)
+        got = tflite_lib.run_tflite(path, img, mask, target)
+        direct = np.asarray(net.apply(variables, jnp.asarray(img), jnp.asarray(mask), jnp.asarray(target)))
+        assert got.shape == direct.shape
+        np.testing.assert_allclose(got, direct, atol=5e-5)
