@@ -49,7 +49,9 @@ def _wait_for_device(max_wait_s: float = 720.0) -> bool:
     return False
 
 
-def measure_jax(batch: int, iters: int, dtype: str, impl: str) -> float:
+def measure_jax(
+    batch: int, iters: int, dtype: str, impl: str, pipelined: bool = True
+) -> float:
     import jax
     import jax.numpy as jnp
 
@@ -66,22 +68,35 @@ def measure_jax(batch: int, iters: int, dtype: str, impl: str) -> float:
         target = target.astype(jnp.bfloat16)
     enh = Enhancer(net, variables, backbone_size=PREDICT, impl=impl)
 
-    def run():
-        out = enh.enhance_image(small, smask, target)
+    def sync(out) -> float:
         # Host-fetch a scalar to force execution: on tunneled TPU platforms
         # block_until_ready can return before the device work finishes, so a
         # data dependency is the only honest sync.
         return float(jnp.sum(out[:, ::128, ::128]))
 
-    run()  # compile
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        run()
-    dt = time.perf_counter() - t0
+    sync(enh.enhance_image(small, smask, target))  # compile + warm
+    if pipelined:
+        # Throughput mode: dispatch every batch up front, sync once at the
+        # end. The device executes programs in dispatch order, so fetching
+        # the last output bounds completion of all of them; the ~30 ms
+        # tunnel round-trip is paid once instead of per batch. This is the
+        # steady-state serving number.
+        t0 = time.perf_counter()
+        outs = [enh.enhance_image(small, smask, target) for _ in range(iters)]
+        sync(outs[-1])
+        dt = time.perf_counter() - t0
+    else:
+        # Latency mode: one synchronized round-trip per batch.
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            sync(enh.enhance_image(small, smask, target))
+        dt = time.perf_counter() - t0
     return batch * iters / dt
 
 
-def measure_jax_resilient(batch: int, iters: int, dtype: str, impl: str) -> float:
+def measure_jax_resilient(
+    batch: int, iters: int, dtype: str, impl: str, pipelined: bool = True
+) -> float:
     """The tunneled TPU worker occasionally crashes under sustained heavy
     programs; measure in a subprocess per attempt, shrinking the batch and
     waiting out worker restarts. A reliable (if conservative) number beats
@@ -92,8 +107,8 @@ def measure_jax_resilient(batch: int, iters: int, dtype: str, impl: str) -> floa
     for attempt_batch in (batch, max(1, batch // 4), 1):
         code = (
             "import sys; sys.path.insert(0, {here!r});\n"
-            "import bench; print('RESULT', bench.measure_jax({b}, {i}, {d!r}, {m!r}))"
-        ).format(here=_HERE, b=attempt_batch, i=iters, d=dtype, m=impl)
+            "import bench; print('RESULT', bench.measure_jax({b}, {i}, {d!r}, {m!r}, {p!r}))"
+        ).format(here=_HERE, b=attempt_batch, i=iters, d=dtype, m=impl, p=pipelined)
         proc = subprocess.run(
             [sys.executable, "-c", code], capture_output=True, text=True,
             timeout=3000, cwd=_HERE,
@@ -160,11 +175,19 @@ def measure_torch_baseline(batch: int = 1, iters: int = 3) -> float:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=2)
-    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--batch", type=int, default=8)
+    # 6 pipelined batches stays inside the measured stability envelope of
+    # the tunneled worker (docs/ROOFLINE.md); the resilient wrapper retries
+    # with a smaller batch if the worker crashes anyway.
+    ap.add_argument("--iters", type=int, default=6)
     ap.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
     ap.add_argument("--impl", default=os.environ.get("CURL_TPU_IMPL", "pallas"))
     ap.add_argument("--quick", action="store_true", help="small batch/iters")
+    ap.add_argument(
+        "--latency",
+        action="store_true",
+        help="sync every batch (per-request latency) instead of pipelined throughput",
+    )
     ap.add_argument(
         "--measure-baseline",
         action="store_true",
@@ -191,7 +214,9 @@ def main() -> None:
         with open(_BASELINE_FILE) as f:
             baseline = json.load(f).get("torch_cpu_1080p_images_per_sec")
 
-    ips = measure_jax_resilient(args.batch, args.iters, args.dtype, args.impl)
+    ips = measure_jax_resilient(
+        args.batch, args.iters, args.dtype, args.impl, pipelined=not args.latency
+    )
     print(
         json.dumps(
             {

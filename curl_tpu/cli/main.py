@@ -35,11 +35,13 @@ log = logging.getLogger("curl_tpu")
 def run_batch_inference(cfg: Config) -> dict:
     root = cfg.inference_img_dirpath
     records = scan_data_dir(root)
-    ids = read_split_ids(os.path.join(root, "images_inference.txt"))
+    ids = read_split_ids(os.path.join(root, f"images_{cfg.eval_split}.txt"))
     recs = select_records(records, ids)
 
     log_dirpath = loop_lib.setup_logging(cfg.log_dirpath)
-    log.info("Performing inference with images in directory: %s", root)
+    log.info(
+        "Evaluating split %r with images in directory: %s", cfg.eval_split, root
+    )
 
     loader = pipeline.Loader(
         recs,
@@ -64,7 +66,7 @@ def run_batch_inference(cfg: Config) -> dict:
     else:
         mesh = mesh_lib.auto_mesh(min(cfg.batch_size, len(recs)), model=cfg.mesh_model)
     state = mesh_lib.shard_pytree(state, mesh_lib.replicated(mesh))
-    evaluator = loop_lib.Evaluator(cfg, loader, "test", log_dirpath)
+    evaluator = loop_lib.Evaluator(cfg, loader, cfg.eval_split, log_dirpath)
     return evaluator.evaluate(
         state, epoch=0, save_outputs=True, sharding=mesh_lib.batch_sharding(mesh)
     )

@@ -19,6 +19,10 @@ class Config:
     # Data
     training_img_dirpath: Optional[str] = None
     inference_img_dirpath: Optional[str] = None
+    # Which split list batch-inference mode evaluates: images_<split>.txt in
+    # the inference dir. `--eval_split=test` + a converted checkpoint is the
+    # one-command Adobe5K-DPE test-split parity check (north star).
+    eval_split: str = "inference"  # inference | test | valid | train
     batch_size: int = 32  # global batch (reference default per-gpu 32, main.py:88)
     num_workers: int = 8  # decode threads (reference: 11 procs, main.py:89)
     crop_h: int = 256

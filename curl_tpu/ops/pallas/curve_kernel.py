@@ -30,7 +30,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 from curl_tpu.ops import color_planes as cp
 from curl_tpu.ops import curves as curves_ops
-from curl_tpu.ops.pallas.trispace_kernel import LANES, MAX_GRID_STEPS, SUBLANES
+from curl_tpu.ops.pallas.trispace_kernel import (
+    LANES,
+    MAX_BLOCKS_PER_CALL,
+    SUBLANES,
+)
 
 # Curve wiring per space: (driving channel, output channel) pairs.
 _LAB_WIRING = ((0, 0), (1, 1), (2, 2))
@@ -129,33 +133,58 @@ def _fused_forward(img, mask, knots_lab, knots_rgb, knots_hsv, k_lab, k_rgb, k_h
     n_curves, n_seg = slopes.shape[1], slopes.shape[2]
 
     kernel = _make_kernel(k_lab, k_rgb, k_hsv, img.dtype)
-    call = pl.pallas_call(
-        kernel,
-        grid=(1, blocks),
-        in_specs=[
-            pl.BlockSpec((1, n_curves, n_seg), lambda bi, i: (bi, 0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, n_curves), lambda bi, i: (bi, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec(
+    block_rows = SUBLANES
+
+    def make_call(nblocks):
+        return pl.pallas_call(
+            kernel,
+            grid=(1, nblocks),
+            in_specs=[
+                pl.BlockSpec((1, n_curves, n_seg), lambda bi, i: (bi, 0, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, n_curves), lambda bi, i: (bi, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec(
+                    (1, 3, SUBLANES, LANES), lambda bi, i: (bi, 0, i, 0), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(
+                    (1, 1, SUBLANES, LANES), lambda bi, i: (bi, 0, i, 0), memory_space=pltpu.VMEM
+                ),
+            ],
+            out_specs=pl.BlockSpec(
                 (1, 3, SUBLANES, LANES), lambda bi, i: (bi, 0, i, 0), memory_space=pltpu.VMEM
             ),
-            pl.BlockSpec(
-                (1, 1, SUBLANES, LANES), lambda bi, i: (bi, 0, i, 0), memory_space=pltpu.VMEM
+            out_shape=jax.ShapeDtypeStruct(
+                (1, 3, nblocks * block_rows, LANES), img.dtype
             ),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, 3, SUBLANES, LANES), lambda bi, i: (bi, 0, i, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((1, 3, padded // LANES, LANES), img.dtype),
-        cost_estimate=pl.CostEstimate(
-            flops=int(padded * (3 * (k_lab + k_rgb) + 4 * k_hsv) * 3),
-            bytes_accessed=int(padded * 7 * img.dtype.itemsize),
-            transcendentals=int(padded * 24),
-        ),
-    )
-    outs = [
-        call(slopes[i : i + 1], c0[i : i + 1], planar[i : i + 1], mask_planar[i : i + 1])
-        for i in range(b)
-    ]
+            cost_estimate=pl.CostEstimate(
+                flops=int(nblocks * block_px * (3 * (k_lab + k_rgb) + 4 * k_hsv) * 3),
+                bytes_accessed=int(nblocks * block_px * 7 * img.dtype.itemsize),
+                transcendentals=int(nblocks * block_px * 24),
+            ),
+        )
+
+    # Bounded per-image calls, row-chunked within an image when its grid
+    # would exceed MAX_BLOCKS_PER_CALL; the curve pass has no positional
+    # terms, so chunks need no coordinate offsets.
+    calls = {}
+    outs = []
+    for i in range(b):
+        chunks = []
+        for c0_blk in range(0, blocks, MAX_BLOCKS_PER_CALL):
+            nb = min(MAX_BLOCKS_PER_CALL, blocks - c0_blk)
+            if nb not in calls:
+                calls[nb] = make_call(nb)
+            r0, r1 = c0_blk * block_rows, (c0_blk + nb) * block_rows
+            chunks.append(
+                calls[nb](
+                    slopes[i : i + 1],
+                    c0[i : i + 1],
+                    planar[i : i + 1, :, r0:r1, :],
+                    mask_planar[i : i + 1, :, r0:r1, :],
+                )
+            )
+        outs.append(
+            jnp.concatenate(chunks, axis=2) if len(chunks) > 1 else chunks[0]
+        )
     out = jnp.concatenate(outs, axis=0) if b > 1 else outs[0]
     out = out.reshape(b, 3, padded)[:, :, :p].reshape(b, 3, h, w)
     return out.transpose(0, 2, 3, 1)
@@ -216,14 +245,11 @@ def fused_curve_enhance(
 
     img: (B,H,W,3); mask: (B,H,W,1); knots: already-exponentiated knot
     stacks shaped (B, 3, K_lab), (B, 3, K_rgb), (B, 4, K_hsv). Returns the
-    enhanced image (clip(img + residual) * mask). Falls back to the XLA
-    path when the kernel grid would exceed the platform stability bound.
+    enhanced image (clip(img + residual) * mask). Any batch/resolution runs
+    fused: work is split into bounded per-image (and per-row-chunk)
+    pallas_calls inside this one jitted program.
     """
-    b, h, w, _ = img.shape
     k_lab = knots_lab.shape[-1]
     k_rgb = knots_rgb.shape[-1]
     k_hsv = knots_hsv.shape[-1]
-    blocks = -(-(h * w) // (SUBLANES * LANES))
-    if b * blocks > MAX_GRID_STEPS:
-        return _xla_reference(img, mask, knots_lab, knots_rgb, knots_hsv)
     return _fused_vjp(img, mask, knots_lab, knots_rgb, knots_hsv, k_lab, k_rgb, k_hsv)

@@ -34,12 +34,15 @@ from curl_tpu.ops import poly
 SUBLANES = 32  # rows per tile; 32x128 = 4096 pixels per grid step
 LANES = 128
 
-# Empirical stability bound for the tunneled v5e worker: programs whose total
-# kernel grid exceeds ~512 steps (e.g. 4 x 1080p images in one jit) crash the
-# TPU worker process. Above this the wrapper transparently falls back to the
-# XLA implementation; callers wanting full fused throughput at scale launch
-# per-image outside jit (see infer.Enhancer.residual).
-MAX_GRID_STEPS = 600
+# Per-pallas_call grid-size bound. Round-1 observed worker instability with
+# single huge multi-image grids on the tunneled v5e; round-2 measurements
+# (tools/kernel_bench.py, docs/ROOFLINE.md) show that *several* bounded
+# calls inside one jit are stable (8x507-step calls ran fine), so arbitrary
+# batch/resolution work is chunked into <=MAX_BLOCKS_PER_CALL-step calls —
+# one per image, plus row-range chunks within an image when a single image
+# exceeds the bound (4K = 2025 blocks -> 4 calls). 512 keeps 1080p (507
+# blocks at SUBLANES=32) in exactly one call.
+MAX_BLOCKS_PER_CALL = 512
 
 
 def _chain_eval(vars5, coeff_read, degree, num_vars, acc_init):
@@ -68,14 +71,18 @@ def _make_kernel(degree: int, spatial: bool, width: int, height: int,
                  total_h: int, total_w: int, out_dtype):
     num_vars = 3 + 2 * int(spatial)
 
-    def kernel(row0_ref, coeff_ref, img_ref, out_ref):
+    def kernel(scalar_ref, coeff_ref, img_ref, out_ref):
         pid = pl.program_id(1)
         r = img_ref[0, 0].astype(jnp.float32)
         g = img_ref[0, 1].astype(jnp.float32)
         b = img_ref[0, 2].astype(jnp.float32)
 
         if spatial:
-            base = pid * (SUBLANES * LANES)
+            # scalar_ref[0,0] = band row offset (dynamic tiled apply);
+            # scalar_ref[0,1] = flat-pixel offset of this chunk within the
+            # image, so one compiled binary serves every row chunk of a
+            # >MAX_BLOCKS_PER_CALL-block image.
+            base = pid * (SUBLANES * LANES) + scalar_ref[0, 1]
             idx = (
                 base
                 + jax.lax.broadcasted_iota(jnp.int32, (SUBLANES, LANES), 0) * LANES
@@ -86,7 +93,7 @@ def _make_kernel(degree: int, spatial: bool, width: int, height: int,
             xplane = col.astype(jnp.float32) / total_w
             # Dynamic row offset: one compiled program serves every row band
             # of a tiled apply.
-            yplane = (row.astype(jnp.float32) + row0_ref[0, 0]) / total_h
+            yplane = (row + scalar_ref[0, 0]).astype(jnp.float32) / total_h
             coords = (xplane, yplane)
         else:
             coords = ()
@@ -157,35 +164,57 @@ def _fused_forward(
     coeffs = coeffs.astype(jnp.float32)
 
     kernel = _make_kernel(degree, spatial, w, h, th, tw, img.dtype)
-    row0_arr = jnp.reshape(row0.astype(jnp.float32), (1, 1))
-    call = pl.pallas_call(
-        kernel,
-        grid=(1, blocks),
-        in_specs=[
-            pl.BlockSpec((1, 1), lambda bi, i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 9, n), lambda bi, i: (bi, 0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec(
+    row0_i32 = row0.astype(jnp.int32)
+    block_rows = SUBLANES  # rows of the (padded//LANES, LANES) layout per block
+
+    def make_call(nblocks):
+        return pl.pallas_call(
+            kernel,
+            grid=(1, nblocks),
+            in_specs=[
+                pl.BlockSpec((1, 2), lambda bi, i: (0, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 9, n), lambda bi, i: (bi, 0, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec(
+                    (1, 3, SUBLANES, LANES),
+                    lambda bi, i: (bi, 0, i, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=pl.BlockSpec(
                 (1, 3, SUBLANES, LANES),
                 lambda bi, i: (bi, 0, i, 0),
                 memory_space=pltpu.VMEM,
             ),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, 3, SUBLANES, LANES),
-            lambda bi, i: (bi, 0, i, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        out_shape=jax.ShapeDtypeStruct((1, 3, padded // LANES, LANES), img.dtype),
-        cost_estimate=pl.CostEstimate(
-            flops=int(padded * 3 * (2 * n * 3 + n + 200)),
-            bytes_accessed=int(padded * 3 * 2 * img.dtype.itemsize),
-            transcendentals=int(padded * 24),
-        ),
-    )
-    # One kernel launch per image (grid (1, blocks)): large multi-image
-    # grids proved unstable on the tunneled v5e worker, and per-image
-    # launches cost nothing at these grid sizes.
-    outs = [call(row0_arr, coeffs[i : i + 1], planar[i : i + 1]) for i in range(b)]
+            out_shape=jax.ShapeDtypeStruct(
+                (1, 3, nblocks * block_rows, LANES), img.dtype
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=int(nblocks * block_px * 3 * (2 * n * 3 + n + 200)),
+                bytes_accessed=int(nblocks * block_px * 3 * 2 * img.dtype.itemsize),
+                transcendentals=int(nblocks * block_px * 24),
+            ),
+        )
+
+    # One bounded pallas_call per image, plus row-range chunks within an
+    # image when its grid would exceed MAX_BLOCKS_PER_CALL (e.g. 4K). All
+    # calls live inside the same jitted program — multiple bounded calls
+    # are stable where one huge grid was not (see module docstring).
+    calls = {}
+    outs = []
+    for i in range(b):
+        chunks = []
+        for c0 in range(0, blocks, MAX_BLOCKS_PER_CALL):
+            nb = min(MAX_BLOCKS_PER_CALL, blocks - c0)
+            if nb not in calls:
+                calls[nb] = make_call(nb)
+            scalars = jnp.stack(
+                [row0_i32, jnp.int32(c0 * block_px)]
+            ).reshape(1, 2)
+            sl = planar[i : i + 1, :, c0 * block_rows : (c0 + nb) * block_rows, :]
+            chunks.append(calls[nb](scalars, coeffs[i : i + 1], sl))
+        outs.append(
+            jnp.concatenate(chunks, axis=2) if len(chunks) > 1 else chunks[0]
+        )
     out = jnp.concatenate(outs, axis=0) if b > 1 else outs[0]
 
     out = out.reshape(b, 3, padded)[:, :, :p].reshape(b, 3, h, w)
@@ -262,17 +291,6 @@ def fused_trispace_residual(
     for name, c in (("rgb", coeff_rgb), ("lab", coeff_lab), ("hsv", coeff_hsv)):
         if c.shape != (b, 3, n):
             raise ValueError(f"coeff_{name} must be {(b, 3, n)}; got {c.shape}")
-    blocks = -(-(h * w) // (SUBLANES * LANES))
-    if b * blocks > MAX_GRID_STEPS:
-        # Too much kernel work for one program on this platform — use the
-        # equivalent XLA path (callers can split the batch outside jit to
-        # keep the fused kernel; infer.Enhancer does).
-        from curl_tpu.ops import enhance
-
-        return enhance.trispace_residual(
-            img, coeff_rgb, coeff_lab, coeff_hsv,
-            degree=degree, spatial=spatial, impl="xla", tile=(row0, col0, th, tw),
-        )
     return _fused_vjp(
         img, coeff_rgb, coeff_lab, coeff_hsv, row0, degree, spatial, (col0, th, tw)
     )

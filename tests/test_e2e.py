@@ -84,7 +84,9 @@ class TestTrainCLI:
                 f"--log_dirpath={infdir}",
             ]
         )
-        dumped = glob.glob(str(infdir / "test" / "1" / "*.png"))
+        # Outputs are dumped under the evaluated split's name (default
+        # --eval_split=inference).
+        dumped = glob.glob(str(infdir / "inference" / "1" / "*.png"))
         assert len(dumped) == 2  # the two inference-split images
 
     def test_single_image_infer_cli(self, dataset_root, tmp_path):

@@ -7,6 +7,13 @@ on the bundled files must land close. Exact equality is impossible from the
 artifacts alone: the dumped files are lossy JPEG (the original metrics were
 computed on the pre-save float tensors) and the foreground masks are not
 bundled — hence the ~1.5 dB / 0.03 tolerances.
+
+These are deliberately *ballpark* regression anchors, not the parity
+claim. True metric parity is pinned sharply elsewhere: MS-SSIM matches the
+reference implementation to 1e-5 (tests/test_ssim.py) and the full 5-term
+loss to 2e-5 (tests/test_losses.py) on controlled tensors; the sharp claim
+in THIS file is the cross-image rank correlation (rho > 0.7 below), which
+survives JPEG/mask noise.
 """
 
 import os

@@ -67,3 +67,18 @@ class TestEnhancer:
         both = enhancer.enhance_image(img, mask, target)
         one = enhancer.enhance_image(img[:1], mask[:1], target[:1])
         np.testing.assert_allclose(np.asarray(both[:1]), np.asarray(one), atol=1e-6)
+
+    def test_enhance_stream_matches_enhance_image(self, enhancer, rng):
+        """The pipelined stream must yield the same outputs, in order, as
+        synchronous per-batch calls."""
+        batches = []
+        for i in range(5):
+            img = jnp.asarray(rng.uniform(0, 1, (2, 32, 32, 3)).astype(np.float32))
+            mask = jnp.ones((2, 32, 32, 1), jnp.float32)
+            target = jnp.asarray(rng.uniform(0, 1, (2, 48, 48, 3)).astype(np.float32))
+            batches.append((img, mask, target))
+        streamed = list(enhancer.enhance_stream(iter(batches), max_in_flight=2))
+        assert len(streamed) == len(batches)
+        for out, (img, mask, target) in zip(streamed, batches):
+            expect = enhancer.enhance_image(img, mask, target)
+            np.testing.assert_allclose(np.asarray(out), np.asarray(expect), atol=1e-6)

@@ -90,6 +90,39 @@ class TestFusedKernel:
         with pytest.raises(NotImplementedError):
             fused_trispace_residual(img, *cs, tile=(0, 8, 16, 32))
 
+    def test_row_chunked_calls_match_xla(self, rng, monkeypatch):
+        """An image whose grid exceeds MAX_BLOCKS_PER_CALL is split into
+        several bounded pallas_calls inside one program; the chunk flat-
+        pixel offsets must keep the coordinate planes globally correct."""
+        from curl_tpu.ops.pallas import trispace_kernel as tk
+
+        monkeypatch.setattr(tk, "MAX_BLOCKS_PER_CALL", 1)
+        # 64x256 = 16384 px = 4 blocks at SUBLANES=32 -> 4 chunked calls,
+        # with a chunk boundary mid-row (4096 px = 16 rows of 256).
+        img = jnp.asarray(rng.uniform(0, 1, (1, 64, 256, 3)).astype(np.float32))
+        cs = _coeffs(rng)
+        ref = enhance.trispace_residual(img, *cs, impl="xla")
+        with pltpu.force_tpu_interpret_mode():
+            got = fused_trispace_residual(img, *cs)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=5e-5)
+
+    def test_row_chunked_band_tile(self, rng, monkeypatch):
+        """Chunking composes with dynamic band tiling: global y must include
+        both the band offset and the intra-image chunk offset."""
+        from curl_tpu.ops.pallas import trispace_kernel as tk
+
+        monkeypatch.setattr(tk, "MAX_BLOCKS_PER_CALL", 1)
+        img = jnp.asarray(rng.uniform(0, 1, (1, 96, 256, 3)).astype(np.float32))
+        cs = _coeffs(rng)
+        with pltpu.force_tpu_interpret_mode():
+            whole = fused_trispace_residual(img, *cs)
+            band = fused_trispace_residual(
+                img[:, 32:96], *cs, tile=(32, 0, 96, 256)
+            )
+        np.testing.assert_allclose(
+            np.asarray(band), np.asarray(whole)[:, 32:96], atol=1e-6
+        )
+
 
 class TestFusedCurveKernel:
     def _inputs(self, rng, b=2, h=24, w=40):
@@ -130,6 +163,17 @@ class TestFusedCurveKernel:
         from curl_tpu.models.curl_curve import curl_curve_layer
 
         img, mask, kl, kr, kh = self._inputs(rng, b=1, h=17, w=23)
+        ref, _ = curl_curve_layer(img, mask, kl, kr, kh, impl="xla")
+        with pltpu.force_tpu_interpret_mode():
+            got, _ = curl_curve_layer(img, mask, kl, kr, kh, impl="pallas")
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=5e-5)
+
+    def test_row_chunked_calls_match_xla(self, rng, monkeypatch):
+        from curl_tpu.models.curl_curve import curl_curve_layer
+        from curl_tpu.ops.pallas import curve_kernel as ck
+
+        monkeypatch.setattr(ck, "MAX_BLOCKS_PER_CALL", 1)
+        img, mask, kl, kr, kh = self._inputs(rng, b=1, h=64, w=256)  # 4 blocks
         ref, _ = curl_curve_layer(img, mask, kl, kr, kh, impl="xla")
         with pltpu.force_tpu_interpret_mode():
             got, _ = curl_curve_layer(img, mask, kl, kr, kh, impl="pallas")
