@@ -90,6 +90,11 @@ def run_training(cfg: Config) -> None:
 def main(argv: Optional[list[str]] = None) -> None:
     faulthandler.enable()
     cfg = parse_config(argv)
+    if cfg.matmul_precision != "default":
+        # Training on TPU requires fp32-accurate matmul/conv passes: the
+        # platform's fast bf16 passes make optimization diverge (measured —
+        # see config.matmul_precision and docs/STATUS.md round-2 notes).
+        jax.config.update("jax_default_matmul_precision", cfg.matmul_precision)
     if cfg.checkpoint_filepath and cfg.inference_img_dirpath:
         run_batch_inference(cfg)
     elif cfg.training_img_dirpath:

@@ -34,6 +34,26 @@ def dataset_root(tmp_path_factory):
     return root
 
 
+class TestMatmulPrecisionConfig:
+    def test_flag_parses_and_default_is_highest(self):
+        from curl_tpu.config import parse_config
+
+        assert parse_config([]).matmul_precision == "highest"
+        assert parse_config(["--matmul_precision=high"]).matmul_precision == "high"
+
+    def test_cli_applies_precision(self, dataset_root, tmp_path):
+        """The training CLI must install the configured matmul precision —
+        on TPU the default bf16 passes make optimization diverge (round-2
+        hardware finding, docs/STATUS.md)."""
+        import jax
+
+        logdir = tmp_path / "log"
+        main_cli.main(
+            _common_args(dataset_root, logdir) + ["--num_epoch=1", "--valid_every=1"]
+        )
+        assert jax.config.jax_default_matmul_precision == "highest"
+
+
 def _common_args(root, logdir):
     return [
         f"--training_img_dirpath={root}",
