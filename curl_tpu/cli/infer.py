@@ -80,15 +80,104 @@ def infer(
     return arr
 
 
+def infer_dir(
+    img_dir: str,
+    checkpoint_dir: str,
+    out_dir: str,
+    backbone_size: int = 320,
+    batch_size: int = 8,
+    resize_to: Optional[tuple[int, int]] = None,
+    max_in_flight: int = 6,
+    cfg: Optional[Config] = None,
+) -> list[str]:
+    """Pipelined directory enhancement through `Enhancer.enhance_stream`:
+    images are decoded on the host, batched at a common resolution, and
+    kept `max_in_flight` programs deep on the device, so the dispatch
+    round-trip is paid once per window instead of once per image
+    (docs/ROOFLINE.md — the 305 img/s serving path). Images are grouped by
+    resolution; pass `resize_to=(H, W)` to force one group."""
+    import os
+
+    from curl_tpu.utils.imageio import save_image_u8
+
+    cfg = cfg or Config()
+    exts = (".png", ".jpg", ".jpeg", ".bmp", ".webp")
+    names = sorted(
+        n for n in os.listdir(img_dir) if n.lower().endswith(exts)
+    )
+    if not names:
+        raise FileNotFoundError(f"no images in {img_dir}")
+    os.makedirs(out_dir, exist_ok=True)
+    enh = build_enhancer(cfg, checkpoint_dir, backbone_size)
+
+    # Group by target resolution: one compiled program per (batch, H, W).
+    groups: dict[tuple[int, int], list[tuple[str, np.ndarray]]] = {}
+    for n in names:
+        img = load_image(os.path.join(img_dir, n))
+        if resize_to is not None:
+            from PIL import Image
+
+            pil = Image.fromarray(
+                np.clip(img * 255.0, 0, 255).astype(np.uint8)
+            ).resize((resize_to[1], resize_to[0]), Image.BILINEAR)
+            img = np.asarray(pil, np.float32) / 255.0
+        groups.setdefault(img.shape[:2], []).append((n, img))
+
+    written: list[str] = []
+    for shape, items in groups.items():
+        def batches():
+            for i in range(0, len(items), batch_size):
+                chunk = items[i : i + batch_size]
+                tgt = np.stack([im for _, im in chunk])
+                small = np.stack(
+                    [
+                        center_crop(resize_shorter_side(im, backbone_size), backbone_size)
+                        for _, im in chunk
+                    ]
+                )
+                smask = np.ones(small.shape[:3] + (1,), np.float32)
+                yield small, smask, tgt
+
+        idx = 0
+        for out in enh.enhance_stream(batches(), max_in_flight=max_in_flight):
+            arr = np.asarray(out)
+            for b in range(arr.shape[0]):
+                name = items[idx][0]
+                path = os.path.join(out_dir, name)
+                save_image_u8(arr[b], path)
+                written.append(path)
+                idx += 1
+    return written
+
+
 def main(argv=None) -> None:
-    parser = argparse.ArgumentParser(description="Run image enhancement on a single image")
-    parser.add_argument("--img_path", required=True)
+    parser = argparse.ArgumentParser(
+        description="Run image enhancement on a single image or a directory"
+    )
+    parser.add_argument("--img_path", default=None)
+    parser.add_argument("--img_dir", default=None,
+                        help="enhance every image in a directory (pipelined)")
     parser.add_argument("--mask_path", default=None)
     parser.add_argument("--checkpoint_dir", required=True, help="Orbax checkpoint directory")
-    parser.add_argument("--out_path", required=True)
+    parser.add_argument("--out_path", default=None)
+    parser.add_argument("--out_dir", default=None)
     parser.add_argument("--backbone_size", type=int, default=320)
     parser.add_argument("--tile_rows", type=int, default=None)
+    parser.add_argument("--batch_size", type=int, default=8)
     args = parser.parse_args(argv)
+    if args.img_dir:
+        if not args.out_dir:
+            parser.error("--img_dir requires --out_dir")
+        infer_dir(
+            args.img_dir,
+            args.checkpoint_dir,
+            args.out_dir,
+            backbone_size=args.backbone_size,
+            batch_size=args.batch_size,
+        )
+        return
+    if not args.img_path or not args.out_path:
+        parser.error("pass --img_path/--out_path, or --img_dir/--out_dir")
     infer(
         args.img_path,
         args.mask_path,

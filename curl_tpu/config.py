@@ -73,13 +73,15 @@ class Config:
     mesh_data: Optional[int] = None  # default: all devices
     mesh_model: int = 1
 
-    # Numerics. TPU matmuls/convs default to fast bf16 passes; measured on
-    # the real v5e, training diverges with them (loss climbs once the LR
-    # ramps — the degree-4 polynomial head amplifies bf16 conv/grad noise;
-    # identical runs on CPU fp32 converge). "highest" forces fp32-accurate
-    # passes for training/eval; set "default" to get the fast passes back
-    # (fine for inference).
-    matmul_precision: str = "highest"  # default | high | highest
+    # Numerics. TPU matmuls/convs default to fast single-pass bf16;
+    # measured on the real v5e, training diverges with them (loss climbs
+    # once the LR ramps — the degree-4 polynomial head amplifies bf16
+    # conv/grad noise; identical runs on CPU fp32 converge). "high"
+    # (3-pass bf16, ~fp32-accurate) restores convergence at 3x the
+    # training throughput of "highest" (6-pass) with indistinguishable
+    # loss/PSNR trajectories — docs/TRAIN_EVIDENCE.md. Set "default" to
+    # get the fast single pass back (fine for inference-only work).
+    matmul_precision: str = "high"  # default | high | highest
 
     # Misc
     seed: int = 0

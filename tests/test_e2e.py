@@ -38,8 +38,8 @@ class TestMatmulPrecisionConfig:
     def test_flag_parses_and_default_is_highest(self):
         from curl_tpu.config import parse_config
 
-        assert parse_config([]).matmul_precision == "highest"
-        assert parse_config(["--matmul_precision=high"]).matmul_precision == "high"
+        assert parse_config([]).matmul_precision == "high"
+        assert parse_config(["--matmul_precision=highest"]).matmul_precision == "highest"
 
     def test_cli_applies_precision(self, dataset_root, tmp_path):
         """The training CLI must install the configured matmul precision —
@@ -51,7 +51,7 @@ class TestMatmulPrecisionConfig:
         main_cli.main(
             _common_args(dataset_root, logdir) + ["--num_epoch=1", "--valid_every=1"]
         )
-        assert jax.config.jax_default_matmul_precision == "highest"
+        assert jax.config.jax_default_matmul_precision == "high"
 
 
 def _common_args(root, logdir):
@@ -128,6 +128,29 @@ class TestTrainCLI:
         )
         assert arr.shape == (48, 64, 3)
         assert os.path.isfile(out_path)
+
+    def test_directory_infer_cli_streams_all_images(self, dataset_root, tmp_path):
+        from curl_tpu.config import Config
+
+        logdir = tmp_path / "log"
+        main_cli.main(
+            _common_args(dataset_root, logdir) + ["--num_epoch=1", "--valid_every=1"]
+        )
+        ckpt = glob.glob(str(logdir / "checkpoints" / "curl_validpsnr_*"))[0]
+        out_dir = str(tmp_path / "enhanced")
+        written = infer_cli.infer_dir(
+            str(dataset_root / "images_input"),
+            ckpt,
+            out_dir,
+            backbone_size=32,
+            batch_size=4,  # 6 images -> a full batch + a partial batch
+            cfg=Config(backbone="tiny"),
+        )
+        assert len(written) == 6
+        assert sorted(os.path.basename(p) for p in written) == sorted(
+            os.listdir(str(dataset_root / "images_input"))
+        )
+        assert all(os.path.isfile(p) for p in written)
 
 
 class TestTiledApply:
