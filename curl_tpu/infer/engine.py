@@ -46,17 +46,17 @@ class Enhancer:
 
         def _full(v, img_small, mask_small, target):
             # Whole deployment path in ONE program: a single dispatch (and a
-            # single tunnel round-trip) per batch instead of one per stage.
+            # single tunnel round-trip) per batch instead of one per stage;
+            # the pallas path fuses the final composite into the kernel.
             r, l, h = model.apply(
                 v, img_small, mask_small, method=model.generate_coefficients
             )
-            res = enhance.trispace_residual(
+            return enhance.trispace_enhance(
                 target, r, l, h,
                 degree=model.polynomial_order,
                 spatial=model.spatial,
                 impl=impl,
             )
-            return enhance.generate_image(target, res)
 
         self._full_fn = jax.jit(_full)
 

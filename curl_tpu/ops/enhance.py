@@ -119,3 +119,35 @@ def generate_image(img: Array, residual: Array) -> Array:
     """Composite the residual onto the input, clamped to the valid range
     (reference model.py:517-520)."""
     return jnp.clip(img + residual, 0.0, 1.0)
+
+
+@partial(jax.jit, static_argnames=("degree", "spatial", "impl"))
+def trispace_enhance(
+    img: Array,
+    coeff_rgb: Array,
+    coeff_lab: Array,
+    coeff_hsv: Array,
+    *,
+    degree: int = 4,
+    spatial: bool = True,
+    impl: str = "xla",
+) -> Array:
+    """Residual + composite in one call: clip(img + residual, 0, 1).
+
+    The pallas path fuses the composite into the kernel's VMEM pass (no
+    extra HBM round trip for generate_image); the XLA path relies on
+    XLA's own elementwise fusion. Whole-image only (no tiling) — this is
+    the deployment hot path."""
+    if impl == "pallas":
+        from curl_tpu.ops.pallas import fused_trispace_residual
+
+        return fused_trispace_residual(
+            img, coeff_rgb, coeff_lab, coeff_hsv,
+            degree=degree, spatial=spatial, composite=True,
+        )
+    res = _trispace_residual_jit(
+        img, coeff_rgb, coeff_lab, coeff_hsv, jnp.int32(0),
+        degree=degree, spatial=spatial, impl="xla",
+        static_tile=(0, img.shape[1], img.shape[2]),
+    )
+    return generate_image(img, res)

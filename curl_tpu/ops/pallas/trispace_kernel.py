@@ -68,7 +68,10 @@ def _chain_eval(vars5, coeff_read, degree, num_vars, acc_init):
 
 
 def _make_kernel(degree: int, spatial: bool, width: int, height: int,
-                 total_h: int, total_w: int, out_dtype):
+                 total_h: int, total_w: int, out_dtype, composite: bool = False):
+    """`composite=True` emits clip(img + residual, 0, 1) instead of the raw
+    residual — the deployment path's generate_image fused into the same
+    VMEM pass, saving one full HBM read+write of the image."""
     num_vars = 3 + 2 * int(spatial)
 
     def kernel(scalar_ref, coeff_ref, img_ref, out_ref):
@@ -128,6 +131,10 @@ def _make_kernel(degree: int, spatial: bool, width: int, height: int,
             res_g = res_g + 2.0 * (o1 - 0.5)
             res_b = res_b + 2.0 * (o2 - 0.5)
 
+        if composite:
+            res_r = jnp.clip(r + res_r, 0.0, 1.0)
+            res_g = jnp.clip(g + res_g, 0.0, 1.0)
+            res_b = jnp.clip(b + res_b, 0.0, 1.0)
         out_ref[0, 0] = res_r.astype(out_dtype)
         out_ref[0, 1] = res_g.astype(out_dtype)
         out_ref[0, 2] = res_b.astype(out_dtype)
@@ -144,6 +151,7 @@ def _fused_forward(
     degree: int,
     spatial: bool,
     static_tile: tuple,
+    composite: bool = False,
 ) -> Array:
     b, h, w, _ = img.shape
     col0, th, tw = static_tile
@@ -163,7 +171,7 @@ def _fused_forward(
     coeffs = jnp.concatenate([coeff_rgb, coeff_lab, coeff_hsv], axis=1)  # (B, 9, N)
     coeffs = coeffs.astype(jnp.float32)
 
-    kernel = _make_kernel(degree, spatial, w, h, th, tw, img.dtype)
+    kernel = _make_kernel(degree, spatial, w, h, th, tw, img.dtype, composite)
     row0_i32 = row0.astype(jnp.int32)
     block_rows = SUBLANES  # rows of the (padded//LANES, LANES) layout per block
 
@@ -221,17 +229,23 @@ def _fused_forward(
     return out.transpose(0, 2, 3, 1)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
-def _fused_vjp(img, c_rgb, c_lab, c_hsv, row0, degree, spatial, static_tile):
-    return _fused_forward(img, c_rgb, c_lab, c_hsv, row0, degree, spatial, static_tile)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def _fused_vjp(img, c_rgb, c_lab, c_hsv, row0, degree, spatial, static_tile,
+               composite):
+    return _fused_forward(
+        img, c_rgb, c_lab, c_hsv, row0, degree, spatial, static_tile, composite
+    )
 
 
-def _fused_vjp_fwd(img, c_rgb, c_lab, c_hsv, row0, degree, spatial, static_tile):
-    out = _fused_forward(img, c_rgb, c_lab, c_hsv, row0, degree, spatial, static_tile)
+def _fused_vjp_fwd(img, c_rgb, c_lab, c_hsv, row0, degree, spatial, static_tile,
+                   composite):
+    out = _fused_forward(
+        img, c_rgb, c_lab, c_hsv, row0, degree, spatial, static_tile, composite
+    )
     return out, (img, c_rgb, c_lab, c_hsv, row0)
 
 
-def _fused_vjp_bwd(degree, spatial, static_tile, residuals, g):
+def _fused_vjp_bwd(degree, spatial, static_tile, composite, residuals, g):
     # Backward through the mathematically identical XLA implementation —
     # training at crop resolution is backbone/SSIM-dominated, so the fused
     # forward is where the win is.
@@ -241,10 +255,11 @@ def _fused_vjp_bwd(degree, spatial, static_tile, residuals, g):
     col0, th, tw = static_tile
 
     def ref(im, a, b, c):
-        return enhance.trispace_residual(
+        res = enhance.trispace_residual(
             im, a, b, c, degree=degree, spatial=spatial, impl="xla",
             tile=(row0, col0, th, tw),
         )
+        return enhance.generate_image(im, res) if composite else res
 
     _, vjp = jax.vjp(ref, img, c_rgb, c_lab, c_hsv)
     return vjp(g) + (jnp.zeros_like(row0, dtype=jnp.float32),)
@@ -264,6 +279,7 @@ def fused_trispace_residual(
     spatial: bool = True,
     static_tile: Optional[tuple] = None,
     tile: Optional[tuple] = None,
+    composite: bool = False,
 ) -> Array:
     """Drop-in fused equivalent of the XLA `trispace_residual` path.
 
@@ -271,8 +287,10 @@ def fused_trispace_residual(
     (row_offset, col_offset, total_h, total_w) like the XLA path, or the
     split form `row0` (dynamic scalar) + `static_tile` = (col_offset,
     total_h, total_w). col_offset must be 0 and the band must span the full
-    width. Differentiable: the custom VJP routes the backward pass through
-    the XLA implementation.
+    width. `composite=True` returns clip(img + residual, 0, 1) computed in
+    the same VMEM pass (the deployment composite fused in — one fewer full
+    HBM round trip). Differentiable: the custom VJP routes the backward
+    pass through the XLA implementation.
     """
     b, h, w, _ = img.shape
     if tile is not None:
@@ -292,5 +310,6 @@ def fused_trispace_residual(
         if c.shape != (b, 3, n):
             raise ValueError(f"coeff_{name} must be {(b, 3, n)}; got {c.shape}")
     return _fused_vjp(
-        img, coeff_rgb, coeff_lab, coeff_hsv, row0, degree, spatial, (col0, th, tw)
+        img, coeff_rgb, coeff_lab, coeff_hsv, row0, degree, spatial,
+        (col0, th, tw), composite,
     )

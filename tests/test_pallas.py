@@ -106,6 +106,34 @@ class TestFusedKernel:
             got = fused_trispace_residual(img, *cs)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=5e-5)
 
+    def test_composite_mode_matches_generate_image(self, rng):
+        """composite=True must equal clip(img + residual) of the XLA path,
+        and trispace_enhance must dispatch to it."""
+        img = jnp.asarray(rng.uniform(0, 1, (2, 24, 40, 3)).astype(np.float32))
+        cs = _coeffs(rng, b=2)
+        ref = enhance.generate_image(
+            img, enhance.trispace_residual(img, *cs, impl="xla")
+        )
+        with pltpu.force_tpu_interpret_mode():
+            got = fused_trispace_residual(img, *cs, composite=True)
+            via_api = enhance.trispace_enhance(img, *cs, impl="pallas")
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=5e-5)
+        np.testing.assert_allclose(np.asarray(via_api), np.asarray(ref), atol=5e-5)
+
+    def test_composite_gradients_flow(self, rng):
+        img = jnp.asarray(rng.uniform(0.2, 0.8, (1, 16, 16, 3)).astype(np.float32))
+        cs = _coeffs(rng)
+
+        def loss(coeffs):
+            with pltpu.force_tpu_interpret_mode():
+                out = fused_trispace_residual(img, *coeffs, composite=True)
+            return jnp.sum(out)
+
+        grads = jax.grad(loss)(tuple(cs))
+        for g in grads:
+            assert np.isfinite(np.asarray(g)).all()
+            assert float(jnp.abs(g).max()) > 0
+
     def test_row_chunked_band_tile(self, rng, monkeypatch):
         """Chunking composes with dynamic band tiling: global y must include
         both the band offset and the intra-image chunk offset."""
