@@ -94,30 +94,47 @@ class Enhancer:
 
     def enhance_stream(self, batches, max_in_flight: int = 6):
         """Pipelined batch enhancement: yields outputs in order while keeping
-        up to `max_in_flight` dispatched programs queued on the device.
+        at most `max_in_flight` dispatched programs queued on the device.
 
         `batches` yields (img_small, mask_small, target) triples (same-shape
         batches reuse one compiled program). On a tunneled TPU the dispatch
         round-trip (~31 ms) otherwise dominates: pipelining pays it once per
         window instead of once per batch (docs/ROOFLINE.md — 159 -> 305
-        img/s at 1080p batch 8). `max_in_flight` is bounded because very
-        long dispatch queues can destabilize the tunneled worker.
+        img/s at 1080p batch 8). Backpressure mechanics, measured on the
+        tunneled platform (docs/ROOFLINE.md):
+          * the depth bound is enforced by host-fetching a one-element
+            probe, NOT block_until_ready, which returns before completion
+            there and would leave the queue unbounded (the worker crashes
+            under deep queues);
+          * each probe is dispatched TOGETHER with its batch, so it sits
+            directly behind it in the device's in-order queue — probing at
+            dequeue time would queue behind every newer batch and
+            serialize the pipeline;
+          * one probe fetch completes every earlier batch too (in-order
+            execution), so we sync once per half-window and yield the
+            whole group, amortizing the fetch round-trip.
         """
         import collections
 
+        group = max(1, max_in_flight // 2)
         queue = collections.deque()
+
+        def drain(n):
+            outs = [queue.popleft() for _ in range(n)]
+            np.asarray(outs[-1][1])  # one fetch completes the whole group
+            return [o for o, _ in outs]
+
         for img_small, mask_small, target in batches:
-            queue.append(
-                self._full_fn(self.variables, img_small, mask_small, target)
-            )
-            if len(queue) > max_in_flight:
-                out = queue.popleft()
-                jax.block_until_ready(out)
-                yield out
+            out = self._full_fn(self.variables, img_small, mask_small, target)
+            leaf = jax.tree_util.tree_leaves(out)[0]
+            # Tiny corner slice (no ravel/reshape — that would relayout the
+            # whole array into a fresh copy just to probe it).
+            probe = leaf[tuple(slice(0, 1) for _ in range(leaf.ndim))]
+            queue.append((out, probe))
+            if len(queue) >= max_in_flight:
+                yield from drain(group)
         while queue:
-            out = queue.popleft()
-            jax.block_until_ready(out)
-            yield out
+            yield from drain(min(group, len(queue)))
 
     def enhance_image(
         self,
