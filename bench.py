@@ -181,10 +181,11 @@ def measure_torch_baseline(batch: int = 1, iters: int = 3) -> float:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=8)
-    # 6 pipelined batches stays inside the measured stability envelope of
-    # the tunneled worker (docs/ROOFLINE.md); the resilient wrapper retries
-    # with a smaller batch if the worker crashes anyway.
-    ap.add_argument("--iters", type=int, default=6)
+    # 12 batches through enhance_stream keeps at most 6 programs in flight
+    # (the measured stability envelope of the tunneled worker,
+    # docs/ROOFLINE.md) while amortizing startup; the resilient wrapper
+    # retries with a smaller batch if the worker crashes anyway.
+    ap.add_argument("--iters", type=int, default=12)
     ap.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
     ap.add_argument("--impl", default=os.environ.get("CURL_TPU_IMPL", "pallas"))
     ap.add_argument("--quick", action="store_true", help="small batch/iters")
