@@ -10,6 +10,11 @@ from curl_tpu.ops.color import (  # noqa: F401
     rgb_to_lab,
 )
 from curl_tpu.ops.coords import cat_coords, coord_channels  # noqa: F401
+from curl_tpu.ops.enhance import (  # noqa: F401
+    generate_image,
+    trispace_enhance,
+    trispace_residual,
+)
 from curl_tpu.ops.curves import (  # noqa: F401
     adjust_hsv,
     adjust_lab,
