@@ -125,15 +125,30 @@ def infer_dir(
 
     written: list[str] = []
     for shape, items in groups.items():
+        # One compiled program per resolution group: the trailing chunk is
+        # padded (by repeating its last image) up to the group's batch size
+        # so a 9-image group at batch 8 compiles ONE program, not two — a
+        # recompile costs minutes on slow hosts. Padded outputs are dropped
+        # before saving. A group smaller than batch_size runs at its own
+        # (single) batch size — still one program.
+        group_bs = min(batch_size, len(items))
+
         def batches():
-            for i in range(0, len(items), batch_size):
-                chunk = items[i : i + batch_size]
-                tgt = np.stack([im for _, im in chunk])
+            for i in range(0, len(items), group_bs):
+                chunk = items[i : i + group_bs]
+                pad = group_bs - len(chunk)
+                tgt = np.stack([im for _, im in chunk] + [chunk[-1][1]] * pad)
                 small = np.stack(
                     [
                         center_crop(resize_shorter_side(im, backbone_size), backbone_size)
                         for _, im in chunk
                     ]
+                    + [
+                        center_crop(
+                            resize_shorter_side(chunk[-1][1], backbone_size), backbone_size
+                        )
+                    ]
+                    * pad
                 )
                 smask = np.ones(small.shape[:3] + (1,), np.float32)
                 yield small, smask, tgt
@@ -141,7 +156,7 @@ def infer_dir(
         idx = 0
         for out in enh.enhance_stream(batches(), max_in_flight=max_in_flight):
             arr = np.asarray(out)
-            for b in range(arr.shape[0]):
+            for b in range(min(arr.shape[0], len(items) - idx)):
                 name = items[idx][0]
                 path = os.path.join(out_dir, name)
                 save_image_u8(arr[b], path)
@@ -164,16 +179,35 @@ def main(argv=None) -> None:
     parser.add_argument("--backbone_size", type=int, default=320)
     parser.add_argument("--tile_rows", type=int, default=None)
     parser.add_argument("--batch_size", type=int, default=8)
+    parser.add_argument("--max_in_flight", type=int, default=6,
+                        help="pipeline depth for --img_dir streaming")
+    parser.add_argument("--resize_to", default=None, metavar="HxW",
+                        help="resize all --img_dir images to one resolution "
+                             "(single compiled program, e.g. 1080x1920)")
     args = parser.parse_args(argv)
     if args.img_dir:
         if not args.out_dir:
             parser.error("--img_dir requires --out_dir")
+        if args.tile_rows is not None or args.mask_path:
+            # Directory mode enhances whole, unmasked images; silently
+            # ignoring these flags would surprise the user.
+            parser.error("--tile_rows/--mask_path are not supported with --img_dir "
+                         "(use single-image --img_path mode)")
+        resize_to = None
+        if args.resize_to:
+            try:
+                h, w = (int(v) for v in args.resize_to.lower().split("x"))
+                resize_to = (h, w)
+            except ValueError:
+                parser.error("--resize_to must look like 1080x1920")
         infer_dir(
             args.img_dir,
             args.checkpoint_dir,
             args.out_dir,
             backbone_size=args.backbone_size,
             batch_size=args.batch_size,
+            resize_to=resize_to,
+            max_in_flight=args.max_in_flight,
         )
         return
     if not args.img_path or not args.out_path:

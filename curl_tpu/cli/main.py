@@ -43,9 +43,25 @@ def run_batch_inference(cfg: Config) -> dict:
         "Evaluating split %r with images in directory: %s", cfg.eval_split, root
     )
 
+    # Use every data-parallel device regardless of split size: pad the eval
+    # batch up to a multiple of the data-axis size (the Loader wraps the
+    # trailing rows and reports `valid_count`; the evaluator masks them), so
+    # e.g. a 9-image split on an 8-device slice evaluates at data=8 instead
+    # of idling 7 devices behind a gcd(9,8)=1 mesh.
+    if cfg.mesh_data is not None:
+        mesh = mesh_lib.make_mesh(
+            jax.devices()[: cfg.mesh_data * cfg.mesh_model],
+            data=cfg.mesh_data,
+            model=cfg.mesh_model,
+        )
+    else:
+        avail = max(1, len(jax.devices()) // cfg.mesh_model)
+        batch = mesh_lib.pad_batch_size(min(cfg.batch_size, len(recs)), avail)
+        mesh = mesh_lib.auto_mesh(batch, model=cfg.mesh_model)
+    data_size = mesh.shape[mesh_lib.DATA_AXIS]
     loader = pipeline.Loader(
         recs,
-        batch_size=min(cfg.batch_size, len(recs)),
+        batch_size=mesh_lib.pad_batch_size(min(cfg.batch_size, len(recs)), data_size),
         crop=(cfg.crop_h, cfg.crop_w),
         train=False,
         num_threads=cfg.num_workers,
@@ -61,10 +77,6 @@ def run_batch_inference(cfg: Config) -> dict:
     )
     state, _ = ckpt_lib.restore(cfg.checkpoint_filepath, state)
 
-    if cfg.mesh_data is not None:
-        mesh = mesh_lib.make_mesh(data=cfg.mesh_data, model=cfg.mesh_model)
-    else:
-        mesh = mesh_lib.auto_mesh(min(cfg.batch_size, len(recs)), model=cfg.mesh_model)
     state = mesh_lib.shard_pytree(state, mesh_lib.replicated(mesh))
     evaluator = loop_lib.Evaluator(cfg, loader, cfg.eval_split, log_dirpath)
     return evaluator.evaluate(

@@ -113,6 +113,12 @@ class Enhancer:
           * one probe fetch completes every earlier batch too (in-order
             execution), so we sync once per half-window and yield the
             whole group, amortizing the fetch round-trip.
+
+        Contract: the depth BOUND assumes single-stream in-order device
+        execution (true on TPU and the single-threaded CPU backend, the
+        targets here). On a hypothetical out-of-order backend outputs stay
+        correct — consumers block on np.asarray of each result — but more
+        than `max_in_flight` programs could be resident at once.
         """
         import collections
 

@@ -47,9 +47,13 @@ def _stub_module(name: str, **attrs) -> None:
 def _install_stubs() -> None:
     import torch
 
-    # timm / torchvision are not installed; the code paths we exercise never
-    # call into them, so empty stubs suffice.
-    _stub_module("timm", create_model=lambda *a, **k: None)
+    # timm / torchvision are not installed. `create_model` returns a bare
+    # torch Module so classes that build a backbone in __init__ (e.g.
+    # TriSpaceRegNet, model.py:456-463 — it assigns `.classifier` onto the
+    # result) can instantiate; the stub backbone's forward is never invoked
+    # by the composed-parity tests (they drive generate_residual directly,
+    # or replace `net.backbone` with a fixed-output module).
+    _stub_module("timm", create_model=lambda *a, **k: __import__("torch").nn.Module())
     _stub_module("torchvision")
     _stub_module("torchvision.models")
     _stub_module("torchvision.transforms", Compose=object)

@@ -167,3 +167,90 @@ class TestLoader:
             shards.append(next(iter(loader)))
         names = shards[0]["name"] + shards[1]["name"]
         assert sorted(names) == sorted(f"{r.key}.png" for r in recs)
+
+
+class TestMultiHostInputPath:
+    """End-to-end multi-host input assembly on the virtual mesh: two
+    process-local Loaders (process_count=2) -> shard_batch
+    (jax.make_array_from_process_local_data) -> jitted steps, equal to the
+    single-loader result (role of the reference's DistributedSampler + DDP
+    input path, main.py:212-218)."""
+
+    def _global_batch(self, mini_dataset, process_count):
+        records = cdata.scan_data_dir(mini_dataset)
+        recs = cdata.select_records(records, ["1", "2", "3", "a0004", "a0005"])
+        shards = []
+        for pi in range(process_count):
+            loader = cdata.Loader(
+                recs, batch_size=8, crop=(16, 16), train=False,
+                process_index=pi, process_count=process_count,
+            )
+            shards.append(next(iter(loader)))
+        # Global batch = process shards in process order (exactly the layout
+        # jax.make_array_from_process_local_data assembles when each process
+        # passes its local rows).
+        batch = {
+            k: np.concatenate([s[k] for s in shards])
+            for k in ("input_img", "output_img", "mask")
+        }
+        batch["valid_count"] = shards[0]["valid_count"]
+        for s in shards[1:]:  # replicated scalar must agree across processes
+            assert int(s["valid_count"]) == int(batch["valid_count"])
+        batch["name"] = [n for s in shards for n in s["name"]]
+        return batch
+
+    def test_two_process_shards_equal_single_loader_through_steps(self, mini_dataset):
+        from curl_tpu import models
+        from curl_tpu.parallel import mesh as mesh_lib
+        from curl_tpu.train import state as state_lib
+        from curl_tpu.train import steps as steps_lib
+
+        mesh = mesh_lib.local_mesh_cpu(8)
+        bsh = mesh_lib.batch_sharding(mesh)
+
+        two = self._global_batch(mini_dataset, process_count=2)
+        one = self._global_batch(mini_dataset, process_count=1)
+        assert two["name"] == one["name"]
+        assert int(two["valid_count"]) == 5  # 5 records, batch 8 -> 3 wrapped
+        for k in ("input_img", "output_img", "mask"):
+            np.testing.assert_array_equal(two[k], one[k])
+
+        model = models.TriSpacePolyNet(backbone="tiny")
+        tx = state_lib.make_optimizer(state_lib.onecycle_schedule(10, 2))
+        state = state_lib.create_train_state(
+            model, jax.random.PRNGKey(0),
+            np.zeros((1, 16, 16, 3), np.float32),
+            np.ones((1, 16, 16, 1), np.float32), tx,
+        )
+        state = mesh_lib.shard_pytree(state, mesh_lib.replicated(mesh))
+
+        def run(batch_np, step, *args):
+            batch_np = dict(batch_np)
+            batch_np.pop("name")  # host-only metadata, not a step input
+            batch = cdata.shard_batch(batch_np, bsh)
+            assert batch["input_img"].sharding.is_equivalent_to(bsh, 4)
+            return step(state, batch, *args)
+
+        estep = steps_lib.make_eval_step()
+        stats2 = run(dict(two), estep)
+        stats1 = run(dict(one), estep)
+        assert float(stats2["count"]) == 5.0
+        for k in ("loss_sum", "psnr_sum", "msssim_sum", "count"):
+            np.testing.assert_allclose(
+                float(stats2[k]), float(stats1[k]), rtol=1e-5, atol=1e-6
+            )
+
+        tstep = steps_lib.make_train_step(augment=False)
+        # Re-create states: train_step donates its input state.
+        s2, tstats2 = run(dict(two), tstep, jax.random.PRNGKey(1))
+        state = state_lib.create_train_state(
+            model, jax.random.PRNGKey(0),
+            np.zeros((1, 16, 16, 3), np.float32),
+            np.ones((1, 16, 16, 1), np.float32), tx,
+        )
+        state = mesh_lib.shard_pytree(state, mesh_lib.replicated(mesh))
+        s1, tstats1 = run(dict(one), tstep, jax.random.PRNGKey(1))
+        np.testing.assert_allclose(float(tstats2["loss"]), float(tstats1["loss"]), rtol=1e-6)
+        l2 = jax.tree_util.tree_leaves(s2.params)[0]
+        l1 = jax.tree_util.tree_leaves(s1.params)[0]
+        np.testing.assert_allclose(np.asarray(l2), np.asarray(l1), atol=1e-7)

@@ -35,7 +35,7 @@ def dataset_root(tmp_path_factory):
 
 
 class TestMatmulPrecisionConfig:
-    def test_flag_parses_and_default_is_highest(self):
+    def test_flag_parses_and_default_is_high(self):
         from curl_tpu.config import parse_config
 
         assert parse_config([]).matmul_precision == "high"
@@ -47,11 +47,17 @@ class TestMatmulPrecisionConfig:
         hardware finding, docs/STATUS.md)."""
         import jax
 
-        logdir = tmp_path / "log"
-        main_cli.main(
-            _common_args(dataset_root, logdir) + ["--num_epoch=1", "--valid_every=1"]
-        )
-        assert jax.config.jax_default_matmul_precision == "high"
+        before = jax.config.jax_default_matmul_precision
+        try:
+            logdir = tmp_path / "log"
+            main_cli.main(
+                _common_args(dataset_root, logdir) + ["--num_epoch=1", "--valid_every=1"]
+            )
+            assert jax.config.jax_default_matmul_precision == "high"
+        finally:
+            # Don't leak the process-global precision into later-collected
+            # tests (their numerics must stay order-independent).
+            jax.config.update("jax_default_matmul_precision", before)
 
 
 def _common_args(root, logdir):
@@ -151,6 +157,125 @@ class TestTrainCLI:
             os.listdir(str(dataset_root / "images_input"))
         )
         assert all(os.path.isfile(p) for p in written)
+
+
+class TestEvalDevicePadding:
+    def test_odd_split_uses_all_devices_with_exact_metrics(self, dataset_root, tmp_path):
+        """A 9-image split on the 8-device mesh must pad the batch (data=8,
+        wrapped rows masked by valid_count) instead of idling 7 devices —
+        and produce the same metrics as a single-device run."""
+        import warnings
+
+        from PIL import Image
+
+        # Train a tiny checkpoint once.
+        logdir = tmp_path / "log"
+        main_cli.main(
+            _common_args(dataset_root, logdir) + ["--num_epoch=1", "--valid_every=1"]
+        )
+        ckpt = glob.glob(str(logdir / "checkpoints" / "curl_validpsnr_*"))[0]
+
+        # A 9-image inference split.
+        root = tmp_path / "nine"
+        for d in ("images_input", "images_output", "images_mask"):
+            (root / d).mkdir(parents=True)
+        rng = np.random.default_rng(11)
+        names = [str(i) for i in range(1, 10)]
+        for name in names:
+            arr = rng.uniform(0, 255, (48, 64, 3)).astype(np.uint8)
+            out = np.clip(arr.astype(np.int32) + 10, 0, 255).astype(np.uint8)
+            Image.fromarray(arr).save(root / "images_input" / f"{name}.png")
+            Image.fromarray(out).save(root / "images_output" / f"{name}.png")
+            Image.fromarray(np.full((48, 64), 255, np.uint8)).save(
+                root / "images_mask" / f"{name}.png"
+            )
+        (root / "images_inference.txt").write_text("\n".join(names) + "\n")
+
+        def run(extra, logname):
+            from curl_tpu.config import parse_config
+
+            cfg = parse_config(
+                [
+                    f"--inference_img_dirpath={root}",
+                    f"--checkpoint_filepath={ckpt}",
+                    "--backbone=tiny",
+                    "--batch_size=32",
+                    "--crop_h=32",
+                    "--crop_w=32",
+                    f"--log_dirpath={tmp_path / logname}",
+                ]
+                + extra
+            )
+            return main_cli.run_batch_inference(cfg)
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("error", UserWarning)  # auto_mesh must not warn
+            multi = run([], "inf8")
+        single = run(["--mesh_data=1"], "inf1")
+        for k in ("loss", "psnr", "msssim"):
+            np.testing.assert_allclose(multi[k], single[k], rtol=1e-4, atol=1e-5)
+        # All 9 images dumped exactly once (no padded duplicates).
+        dumped = glob.glob(str(tmp_path / "inf8" / "inference" / "1" / "*.png"))
+        assert len(dumped) == 9
+
+
+class TestInferDirSingleProgram:
+    def test_trailing_chunk_padded_to_one_batch_shape(self, dataset_root, tmp_path, monkeypatch):
+        """6 images at batch 4 must reach the device as two batches of FOUR
+        (trailing chunk padded -> one compiled program per resolution
+        group), with exactly 6 outputs written."""
+        from curl_tpu.config import Config
+        from curl_tpu.infer.engine import Enhancer
+
+        logdir = tmp_path / "log"
+        main_cli.main(
+            _common_args(dataset_root, logdir) + ["--num_epoch=1", "--valid_every=1"]
+        )
+        ckpt = glob.glob(str(logdir / "checkpoints" / "curl_validpsnr_*"))[0]
+
+        seen: list[int] = []
+        orig = Enhancer.enhance_stream
+
+        def spy(self, batches, max_in_flight=6):
+            def recording():
+                for small, smask, tgt in batches:
+                    seen.append(tgt.shape[0])
+                    yield small, smask, tgt
+
+            return orig(self, recording(), max_in_flight=max_in_flight)
+
+        monkeypatch.setattr(Enhancer, "enhance_stream", spy)
+        written = infer_cli.infer_dir(
+            str(dataset_root / "images_input"),
+            ckpt,
+            str(tmp_path / "enhanced"),
+            backbone_size=32,
+            batch_size=4,
+            cfg=Config(backbone="tiny"),
+        )
+        assert seen == [4, 4]  # one batch shape -> one compiled program
+        assert len(written) == 6
+        assert len(set(written)) == 6
+
+    def test_img_dir_rejects_tile_and_mask_flags(self, tmp_path):
+        with pytest.raises(SystemExit):
+            infer_cli.main(
+                [
+                    "--img_dir=/nonexistent",
+                    "--out_dir=/tmp/x",
+                    "--checkpoint_dir=/tmp/c",
+                    "--tile_rows=64",
+                ]
+            )
+        with pytest.raises(SystemExit):
+            infer_cli.main(
+                [
+                    "--img_dir=/nonexistent",
+                    "--out_dir=/tmp/x",
+                    "--checkpoint_dir=/tmp/c",
+                    "--mask_path=/tmp/m.png",
+                ]
+            )
 
 
 class TestTiledApply:
