@@ -50,7 +50,8 @@ def _wait_for_device(max_wait_s: float = 720.0) -> bool:
 
 
 def measure_jax(
-    batch: int, iters: int, dtype: str, impl: str, pipelined: bool = True
+    batch: int, iters: int, dtype: str, impl: str, pipelined: bool = True,
+    max_in_flight: int = 6, compute_dtype: str = "float32",
 ) -> float:
     import jax
     import jax.numpy as jnp
@@ -58,7 +59,10 @@ def measure_jax(
     from curl_tpu.infer.engine import Enhancer
     from curl_tpu.models import TriSpacePolyNet
 
-    net = TriSpacePolyNet(backbone="efficientnetv2_rw_t", residual_impl=impl)
+    net = TriSpacePolyNet(
+        backbone="efficientnetv2_rw_t", residual_impl=impl,
+        compute_dtype=compute_dtype,
+    )
     rng = np.random.default_rng(0)
     small = jnp.asarray(rng.uniform(0, 1, (batch, PREDICT, PREDICT, 3)).astype(np.float32))
     smask = jnp.ones((batch, PREDICT, PREDICT, 1), jnp.float32)
@@ -85,7 +89,8 @@ def measure_jax(
         t0 = time.perf_counter()
         n = 0
         for out in enh.enhance_stream(
-            (small, smask, target) for _ in range(iters)
+            ((small, smask, target) for _ in range(iters)),
+            max_in_flight=max_in_flight,
         ):
             n += out.shape[0]
         dt = time.perf_counter() - t0
@@ -129,6 +134,62 @@ def measure_jax_resilient(
         if attempt_batch == 1:
             break
     raise RuntimeError("benchmark failed at every batch size")
+
+
+def measure_train(
+    batch: int,
+    iters: int,
+    precision: str = "high",
+    compute_dtype: str = "float32",
+    crop: int = 256,
+    augment: bool = True,
+) -> float:
+    """Training throughput (img/s) of the flagship rw_t model on synthetic
+    256^2 crops — the reference's primary workload (main.py:260-340).
+    Matmul precision defaults to `high`, the mode TPU training requires for
+    convergence (CLAUDE.md / docs/STATUS.md round-2 finding). Honest sync:
+    steps are dispatched back-to-back and the LAST step's loss is fetched —
+    in-order execution makes that fetch complete every earlier step, so the
+    tunnel round-trip is paid once per run, as in real training where only
+    logging reads the loss."""
+    import jax
+
+    jax.config.update("jax_default_matmul_precision", precision)
+    import jax.numpy as jnp
+
+    from curl_tpu.models import TriSpacePolyNet
+    from curl_tpu.train import state as state_lib
+    from curl_tpu.train import steps as steps_lib
+
+    net = TriSpacePolyNet(
+        backbone="efficientnetv2_rw_t", compute_dtype=compute_dtype
+    )
+    rng = np.random.default_rng(0)
+    batch_np = {
+        "input_img": rng.uniform(0, 1, (batch, crop, crop, 3)).astype(np.float32),
+        "output_img": rng.uniform(0, 1, (batch, crop, crop, 3)).astype(np.float32),
+        "mask": np.ones((batch, crop, crop, 1), np.float32),
+    }
+    dev_batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+    tx = state_lib.make_optimizer(state_lib.onecycle_schedule(100, 10))
+    state = state_lib.create_train_state(
+        net, jax.random.PRNGKey(0),
+        batch_np["input_img"][:1], batch_np["mask"][:1], tx,
+    )
+    step = steps_lib.make_train_step(augment=augment)
+    keys = [jax.random.PRNGKey(i) for i in range(iters + 2)]
+
+    # Compile + warm (2 steps so rematerialized buffers settle).
+    for i in range(2):
+        state, stats = step(state, dict(dev_batch), keys[i])
+    float(stats["loss"])
+    t0 = time.perf_counter()
+    for i in range(iters):
+        state, stats = step(state, dict(dev_batch), keys[2 + i])
+    final_loss = float(stats["loss"])  # completes all iters (in-order)
+    dt = time.perf_counter() - t0
+    assert np.isfinite(final_loss)
+    return batch * iters / dt
 
 
 def measure_torch_baseline(batch: int = 1, iters: int = 3) -> float:
@@ -190,6 +251,15 @@ def main() -> None:
     ap.add_argument("--impl", default=os.environ.get("CURL_TPU_IMPL", "pallas"))
     ap.add_argument("--quick", action="store_true", help="small batch/iters")
     ap.add_argument(
+        "--train",
+        action="store_true",
+        help="measure training throughput (256^2 crops, rw_t, high precision)",
+    )
+    ap.add_argument("--precision", default="high",
+                    help="matmul precision for --train")
+    ap.add_argument("--compute_dtype", default="float32",
+                    help="backbone compute dtype for --train")
+    ap.add_argument(
         "--latency",
         action="store_true",
         help="sync every batch (per-request latency) instead of pipelined throughput",
@@ -213,6 +283,24 @@ def main() -> None:
         with open(_BASELINE_FILE, "w") as f:
             json.dump(payload, f, indent=1)
         print(json.dumps(payload))
+        return
+
+    if args.train:
+        iters = 4 if args.quick else 30
+        ips = measure_train(
+            args.batch, iters,
+            precision=args.precision, compute_dtype=args.compute_dtype,
+        )
+        print(
+            json.dumps(
+                {
+                    "metric": f"train_images_per_sec_256px_batch{args.batch}",
+                    "value": round(ips, 3),
+                    "unit": "images/sec",
+                    "vs_baseline": None,
+                }
+            )
+        )
         return
 
     baseline = None

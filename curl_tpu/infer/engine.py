@@ -60,6 +60,17 @@ class Enhancer:
 
         self._full_fn = jax.jit(_full)
 
+        def _full_probe(v, img_small, mask_small, target):
+            # Serving-path variant: the backpressure probe (a scalar corner
+            # of the output) is computed INSIDE the program, so the stream
+            # pays ONE dispatch per batch instead of two (the separate
+            # slice-program dispatch measurably costs throughput on the
+            # tunneled platform — docs/ROOFLINE.md round 3).
+            out = _full(v, img_small, mask_small, target)
+            return out, out[0, 0, 0, 0]
+
+        self._full_probe_fn = jax.jit(_full_probe)
+
     def coefficients(self, img_small: Array, mask_small: Array):
         """(B, s, s, 3), (B, s, s, 1) -> (R, L, H) each (B, 3, N)."""
         return self._coeff_fn(self.variables, img_small, mask_small)
@@ -131,11 +142,12 @@ class Enhancer:
             return [o for o, _ in outs]
 
         for img_small, mask_small, target in batches:
-            out = self._full_fn(self.variables, img_small, mask_small, target)
-            leaf = jax.tree_util.tree_leaves(out)[0]
-            # Tiny corner slice (no ravel/reshape — that would relayout the
-            # whole array into a fresh copy just to probe it).
-            probe = leaf[tuple(slice(0, 1) for _ in range(leaf.ndim))]
+            # One dispatch per batch: the probe (scalar output corner) is an
+            # extra program OUTPUT, not a separate slice program — halving
+            # dispatches over the tunnel.
+            out, probe = self._full_probe_fn(
+                self.variables, img_small, mask_small, target
+            )
             queue.append((out, probe))
             if len(queue) >= max_in_flight:
                 yield from drain(group)

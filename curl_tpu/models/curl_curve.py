@@ -97,8 +97,19 @@ class CurlCurveNet(nn.Module):
 
     @nn.compact
     def __call__(
-        self, img: Array, mask: Array, *, train: bool = False
+        self,
+        img: Array,
+        mask: Array,
+        target_img: Array | None = None,
+        target_mask: Array | None = None,
+        *,
+        train: bool = False,
     ) -> tuple[Array, Array]:
+        """Optional `target_img`/`target_mask`: predict the knots from the
+        (low-resolution) `img` but apply the curves at the target's native
+        resolution — the same predict-low-res/apply-full-res deployment hook
+        the polynomial model has (reference model.py:529-535; the curves are
+        global per-image transforms, so they are resolution-independent)."""
         cfg = bb.CONFIGS[self.backbone] if isinstance(self.backbone, str) else self.backbone
         feats = bb.EfficientNetV2(cfg, bn_axis_name=self.bn_axis_name, name="backbone")(
             img, train=train
@@ -107,9 +118,16 @@ class CurlCurveNet(nn.Module):
         knots = nn.Dense(total, name="classifier")(feats)
         b1 = self.num_lab_points
         b2 = b1 + self.num_rgb_points
+        apply_img = img if target_img is None else target_img
+        if target_img is None:
+            apply_mask = mask
+        elif target_mask is None:
+            apply_mask = jnp.ones(target_img.shape[:3] + (1,), target_img.dtype)
+        else:
+            apply_mask = target_mask
         return curl_curve_layer(
-            img,
-            mask,
+            apply_img,
+            apply_mask,
             knots[:, :b1],
             knots[:, b1:b2],
             knots[:, b2:],

@@ -48,7 +48,7 @@ def _apply_curve_planes(planes, slope_ref, c0_ref, curve_idx, n_seg, drive, out)
     curves.py:29-36)."""
     p = planes[drive]
     x = (jnp.float32(n_seg)) * p
-    scale = jnp.full_like(p, c0_ref[0, curve_idx])
+    scale = jnp.full_like(p, c0_ref[0, curve_idx, 0])
     for seg in range(n_seg):
         ramp = jnp.clip(x - jnp.float32(seg), 0.0, 1.0)
         scale = scale + slope_ref[0, curve_idx, seg] * ramp
@@ -109,7 +109,10 @@ def _prepare_knots(knots_lab, knots_rgb, knots_hsv):
             slope = jnp.pad(slope, ((0, 0), (0, pad)))
         slopes.append(slope)
         c0s.append(gk[:, 0])
-    return jnp.stack(slopes, axis=1), jnp.stack(c0s, axis=1)  # (B,10,S), (B,10)
+    # c0 carries a trailing unit dim: Mosaic requires a block's last two dims
+    # to be divisible by (8, 128) or EQUAL to the array's — (1, n_curves)
+    # over a (B, n_curves) array fails that for B > 1, (n_curves, 1) passes.
+    return jnp.stack(slopes, axis=1), jnp.stack(c0s, axis=1)[..., None]  # (B,10,S), (B,10,1)
 
 
 def _fused_forward(img, mask, knots_lab, knots_rgb, knots_hsv, k_lab, k_rgb, k_hsv):
@@ -135,13 +138,13 @@ def _fused_forward(img, mask, knots_lab, knots_rgb, knots_hsv, k_lab, k_rgb, k_h
     kernel = _make_kernel(k_lab, k_rgb, k_hsv, img.dtype)
     block_rows = SUBLANES
 
-    def make_call(nblocks):
+    def make_call(nbatch, nblocks):
         return pl.pallas_call(
             kernel,
-            grid=(1, nblocks),
+            grid=(nbatch, nblocks),
             in_specs=[
                 pl.BlockSpec((1, n_curves, n_seg), lambda bi, i: (bi, 0, 0), memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, n_curves), lambda bi, i: (bi, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, n_curves, 1), lambda bi, i: (bi, 0, 0), memory_space=pltpu.SMEM),
                 pl.BlockSpec(
                     (1, 3, SUBLANES, LANES), lambda bi, i: (bi, 0, i, 0), memory_space=pltpu.VMEM
                 ),
@@ -153,39 +156,45 @@ def _fused_forward(img, mask, knots_lab, knots_rgb, knots_hsv, k_lab, k_rgb, k_h
                 (1, 3, SUBLANES, LANES), lambda bi, i: (bi, 0, i, 0), memory_space=pltpu.VMEM
             ),
             out_shape=jax.ShapeDtypeStruct(
-                (1, 3, nblocks * block_rows, LANES), img.dtype
+                (nbatch, 3, nblocks * block_rows, LANES), img.dtype
             ),
             cost_estimate=pl.CostEstimate(
-                flops=int(nblocks * block_px * (3 * (k_lab + k_rgb) + 4 * k_hsv) * 3),
-                bytes_accessed=int(nblocks * block_px * 7 * img.dtype.itemsize),
-                transcendentals=int(nblocks * block_px * 24),
+                flops=int(nbatch * nblocks * block_px * (3 * (k_lab + k_rgb) + 4 * k_hsv) * 3),
+                bytes_accessed=int(nbatch * nblocks * block_px * 7 * img.dtype.itemsize),
+                transcendentals=int(nbatch * nblocks * block_px * 24),
             ),
         )
 
-    # Bounded per-image calls, row-chunked within an image when its grid
-    # would exceed MAX_BLOCKS_PER_CALL; the curve pass has no positional
-    # terms, so chunks need no coordinate offsets.
-    calls = {}
-    outs = []
-    for i in range(b):
-        chunks = []
-        for c0_blk in range(0, blocks, MAX_BLOCKS_PER_CALL):
-            nb = min(MAX_BLOCKS_PER_CALL, blocks - c0_blk)
-            if nb not in calls:
-                calls[nb] = make_call(nb)
-            r0, r1 = c0_blk * block_rows, (c0_blk + nb) * block_rows
-            chunks.append(
-                calls[nb](
-                    slopes[i : i + 1],
-                    c0[i : i + 1],
-                    planar[i : i + 1, :, r0:r1, :],
-                    mask_planar[i : i + 1, :, r0:r1, :],
+    if blocks <= MAX_BLOCKS_PER_CALL:
+        # Whole batch as one (image, block) 2-D grid — same measured win and
+        # stability envelope as the tri-space kernel (each grid row stays
+        # <= MAX_BLOCKS_PER_CALL double-buffered steps; docs/ROOFLINE.md).
+        out = make_call(b, blocks)(slopes, c0, planar, mask_planar)
+    else:
+        # Bounded per-image calls, row-chunked within an image when its grid
+        # would exceed MAX_BLOCKS_PER_CALL; the curve pass has no positional
+        # terms, so chunks need no coordinate offsets.
+        calls = {}
+        outs = []
+        for i in range(b):
+            chunks = []
+            for c0_blk in range(0, blocks, MAX_BLOCKS_PER_CALL):
+                nb = min(MAX_BLOCKS_PER_CALL, blocks - c0_blk)
+                if nb not in calls:
+                    calls[nb] = make_call(1, nb)
+                r0, r1 = c0_blk * block_rows, (c0_blk + nb) * block_rows
+                chunks.append(
+                    calls[nb](
+                        slopes[i : i + 1],
+                        c0[i : i + 1],
+                        planar[i : i + 1, :, r0:r1, :],
+                        mask_planar[i : i + 1, :, r0:r1, :],
+                    )
                 )
+            outs.append(
+                jnp.concatenate(chunks, axis=2) if len(chunks) > 1 else chunks[0]
             )
-        outs.append(
-            jnp.concatenate(chunks, axis=2) if len(chunks) > 1 else chunks[0]
-        )
-    out = jnp.concatenate(outs, axis=0) if b > 1 else outs[0]
+        out = jnp.concatenate(outs, axis=0) if b > 1 else outs[0]
     out = out.reshape(b, 3, padded)[:, :, :p].reshape(b, 3, h, w)
     return out.transpose(0, 2, 3, 1)
 

@@ -175,10 +175,10 @@ def _fused_forward(
     row0_i32 = row0.astype(jnp.int32)
     block_rows = SUBLANES  # rows of the (padded//LANES, LANES) layout per block
 
-    def make_call(nblocks):
+    def make_call(nbatch, nblocks):
         return pl.pallas_call(
             kernel,
-            grid=(1, nblocks),
+            grid=(nbatch, nblocks),
             in_specs=[
                 pl.BlockSpec((1, 2), lambda bi, i: (0, 0), memory_space=pltpu.SMEM),
                 pl.BlockSpec((1, 9, n), lambda bi, i: (bi, 0, 0), memory_space=pltpu.SMEM),
@@ -194,36 +194,46 @@ def _fused_forward(
                 memory_space=pltpu.VMEM,
             ),
             out_shape=jax.ShapeDtypeStruct(
-                (1, 3, nblocks * block_rows, LANES), img.dtype
+                (nbatch, 3, nblocks * block_rows, LANES), img.dtype
             ),
             cost_estimate=pl.CostEstimate(
-                flops=int(nblocks * block_px * 3 * (2 * n * 3 + n + 200)),
-                bytes_accessed=int(nblocks * block_px * 3 * 2 * img.dtype.itemsize),
-                transcendentals=int(nblocks * block_px * 24),
+                flops=int(nbatch * nblocks * block_px * 3 * (2 * n * 3 + n + 200)),
+                bytes_accessed=int(nbatch * nblocks * block_px * 3 * 2 * img.dtype.itemsize),
+                transcendentals=int(nbatch * nblocks * block_px * 24),
             ),
         )
 
-    # One bounded pallas_call per image, plus row-range chunks within an
-    # image when its grid would exceed MAX_BLOCKS_PER_CALL (e.g. 4K). All
-    # calls live inside the same jitted program — multiple bounded calls
-    # are stable where one huge grid was not (see module docstring).
-    calls = {}
-    outs = []
-    for i in range(b):
-        chunks = []
-        for c0 in range(0, blocks, MAX_BLOCKS_PER_CALL):
-            nb = min(MAX_BLOCKS_PER_CALL, blocks - c0)
-            if nb not in calls:
-                calls[nb] = make_call(nb)
-            scalars = jnp.stack(
-                [row0_i32, jnp.int32(c0 * block_px)]
-            ).reshape(1, 2)
-            sl = planar[i : i + 1, :, c0 * block_rows : (c0 + nb) * block_rows, :]
-            chunks.append(calls[nb](scalars, coeffs[i : i + 1], sl))
-        outs.append(
-            jnp.concatenate(chunks, axis=2) if len(chunks) > 1 else chunks[0]
-        )
-    out = jnp.concatenate(outs, axis=0) if b > 1 else outs[0]
+    if blocks <= MAX_BLOCKS_PER_CALL:
+        # Whole batch in ONE (image, block) 2-D grid — measured faster than
+        # per-image bounded calls (1.51 vs 1.59 ms/img at 1080p batch 8,
+        # tools/batch_grid_probe.py / docs/ROOFLINE.md) and inside the
+        # stability envelope: the per-call STEP count is what must stay
+        # bounded, and each (bi, :) row of the grid is <= MAX_BLOCKS_PER_CALL
+        # steps of double-buffered (SUB, 128) tiles.
+        scalars = jnp.stack([row0_i32, jnp.int32(0)]).reshape(1, 2)
+        out = make_call(b, blocks)(scalars, coeffs, planar)
+    else:
+        # High-res: row-range chunks within each image keep every call's
+        # grid bounded (e.g. 4K = 2025 blocks -> 4 calls/image). All calls
+        # live inside the same jitted program — multiple bounded calls are
+        # stable where one huge grid was not (see module docstring).
+        calls = {}
+        outs = []
+        for i in range(b):
+            chunks = []
+            for c0 in range(0, blocks, MAX_BLOCKS_PER_CALL):
+                nb = min(MAX_BLOCKS_PER_CALL, blocks - c0)
+                if nb not in calls:
+                    calls[nb] = make_call(1, nb)
+                scalars = jnp.stack(
+                    [row0_i32, jnp.int32(c0 * block_px)]
+                ).reshape(1, 2)
+                sl = planar[i : i + 1, :, c0 * block_rows : (c0 + nb) * block_rows, :]
+                chunks.append(calls[nb](scalars, coeffs[i : i + 1], sl))
+            outs.append(
+                jnp.concatenate(chunks, axis=2) if len(chunks) > 1 else chunks[0]
+            )
+        out = jnp.concatenate(outs, axis=0) if b > 1 else outs[0]
 
     out = out.reshape(b, 3, padded)[:, :, :p].reshape(b, 3, h, w)
     return out.transpose(0, 2, 3, 1)

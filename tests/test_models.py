@@ -130,6 +130,25 @@ class TestCurveNet:
         assert net.num_rgb_points == 48
         assert net.num_hsv_points == 64
 
+    def test_low_res_predict_full_res_apply(self, rng):
+        """The curve model's target_img hook: knots from the small view,
+        curves applied at the target's resolution; the same knots applied
+        directly must reproduce the output."""
+        from curl_tpu.models.curl_curve import curl_curve_layer
+
+        net = models.CurlCurveNet(backbone="tiny")
+        img, mask = _init_batch(rng, b=2, s=32)
+        target = jnp.asarray(rng.uniform(0, 1, (2, 48, 40, 3)).astype(np.float32))
+        variables = net.init(jax.random.PRNGKey(0), img, mask)
+        out, reg = net.apply(variables, img, mask, target)
+        assert out.shape == target.shape
+        out_small, _ = net.apply(variables, img, mask)
+        assert out_small.shape == img.shape
+        # A target mask confines the enhancement.
+        tmask = jnp.zeros((2, 48, 40, 1), jnp.float32)
+        out_masked, _ = net.apply(variables, img, mask, target, tmask)
+        np.testing.assert_allclose(np.asarray(out_masked), 0.0, atol=1e-6)
+
 
 class TestPolyRegNet:
     def test_forward(self, rng):

@@ -1,0 +1,138 @@
+"""Curve-path hardware benchmark (run on the real TPU).
+
+Gives the knot-curve model the same measurement rigor as the polynomial
+model (docs/ROOFLINE.md): the fused `fused_curve_enhance` kernel-only time
+via the K-program slope trick (distinct knot perturbations defeat CSE; both
+K=1 and K=kmax programs pay exactly one host fetch), the same workload on
+the XLA op chain, and the end-to-end deployment composition (knots predicted
+from a 320^2 view through the rw_s backbone, curves applied at 1080p via
+CurlCurveNet's target_img hook) with back-to-back dispatch and a single
+in-order-completing sync.
+
+    python tools/curve_bench.py --case kernel --impl pallas
+    python tools/curve_bench.py --case e2e --batch 8
+Prints one JSON line per measurement (kernel_sweep subprocess pattern).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--case", default="kernel", choices=["kernel", "e2e", "check"])
+    ap.add_argument("--impl", default="pallas", choices=["pallas", "xla"])
+    ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--height", type=int, default=1080)
+    ap.add_argument("--width", type=int, default=1920)
+    ap.add_argument("--iters", type=int, default=12)
+    ap.add_argument("--kmax", type=int, default=3)
+    ap.add_argument("--reps", type=int, default=5)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from curl_tpu.models.curl_curve import CurlCurveNet, curl_curve_layer
+
+    b, h, w = args.batch, args.height, args.width
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.uniform(0, 1, (b, h, w, 3)).astype(np.float32))
+    mask = jnp.ones((b, h, w, 1), jnp.float32)
+    kl = jnp.asarray(rng.normal(scale=0.1, size=(b, 3 * 48)).astype(np.float32))
+    kr = jnp.asarray(rng.normal(scale=0.1, size=(b, 3 * 48)).astype(np.float32))
+    kh = jnp.asarray(rng.normal(scale=0.1, size=(b, 4 * 64)).astype(np.float32))
+
+    def sync(x) -> float:
+        return float(jnp.sum(x[:, ::128, ::128].astype(jnp.float32)))
+
+    base = {"case": args.case, "impl": args.impl, "batch": b, "hw": [h, w]}
+
+    if args.case == "check":
+        op, _ = curl_curve_layer(img, mask, kl, kr, kh, impl="pallas")
+        ox, _ = curl_curve_layer(img, mask, kl, kr, kh, impl="xla")
+        err = float(jnp.max(jnp.abs(op - ox)))
+        print(json.dumps({**base, "max_abs_err": err, "ok": err < 1e-4}), flush=True)
+        return
+
+    if args.case == "kernel":
+        def make_prog(k):
+            @jax.jit
+            def f(im, m, a, r_, h_):
+                acc = None
+                for i in range(k):
+                    # Distinct knot perturbations defeat CSE between calls.
+                    o, _ = curl_curve_layer(
+                        im, m, a + jnp.float32(i) * 1e-6, r_, h_, impl=args.impl
+                    )
+                    acc = o if acc is None else acc + o
+                return acc
+
+            return f
+
+        times = {}
+        for k in (1, args.kmax):
+            f = make_prog(k)
+            sync(f(img, mask, kl, kr, kh))
+            ts = []
+            for _ in range(args.reps):
+                t0 = time.perf_counter()
+                sync(f(img, mask, kl, kr, kh))
+                ts.append(time.perf_counter() - t0)
+            times[k] = min(ts)
+            print(json.dumps({**base, "k": k, "min_ms": min(ts) * 1e3}), flush=True)
+        per_call = (times[args.kmax] - times[1]) / (args.kmax - 1)
+        print(
+            json.dumps(
+                {
+                    **base,
+                    "per_image_ms": per_call * 1e3 / b,
+                    "images_per_sec_kernel_only": b / per_call if per_call > 0 else None,
+                }
+            ),
+            flush=True,
+        )
+        return
+
+    # e2e: 320^2 predict -> 1080p apply through the model's target hook.
+    net = CurlCurveNet(curve_impl=args.impl)
+    small = jnp.asarray(rng.uniform(0, 1, (b, 320, 320, 3)).astype(np.float32))
+    smask = jnp.ones((b, 320, 320, 1), jnp.float32)
+    variables = net.init(jax.random.PRNGKey(0), small[:1], smask[:1])
+
+    @jax.jit
+    def serve(v, s, sm, tgt):
+        out, _ = net.apply(v, s, sm, tgt)
+        return out
+
+    sync(serve(variables, small, smask, img))  # compile + warm
+    t0 = time.perf_counter()
+    last = None
+    for _ in range(args.iters):
+        last = serve(variables, small, smask, img)
+    sync(last)  # in-order: completes every dispatch
+    dt = time.perf_counter() - t0
+    print(
+        json.dumps(
+            {
+                **base,
+                "iters": args.iters,
+                "ms_per_batch": round(dt / args.iters * 1e3, 2),
+                "images_per_sec": round(b * args.iters / dt, 2),
+            }
+        ),
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,85 @@
+"""Serving-throughput tuning sweep (run on the real TPU).
+
+Each configuration runs `bench.measure_jax` in its own subprocess (crash
+isolation — the tunneled worker can die under sustained dispatch, CLAUDE.md)
+and appends one JSON line to the output file. The sweep explores the knobs
+the round-2 verdict flagged as untapped: pipeline window depth, batch size,
+backbone compute dtype, and the 2-D (image, block) kernel grid that replaced
+per-image bounded calls.
+
+    python tools/serve_sweep.py --out /tmp/serve_sweep.jsonl
+"""
+
+from __future__ import annotations
+
+import argparse
+import itertools
+import json
+import os
+import subprocess
+import sys
+import time
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_REPO = os.path.dirname(_HERE)
+
+
+def run_case(batch, iters, dtype, compute_dtype, max_in_flight, timeout=1500):
+    code = (
+        "import sys; sys.path.insert(0, {repo!r})\n"
+        "import bench\n"
+        "print('RESULT', bench.measure_jax({b}, {i}, {d!r}, 'pallas', True, "
+        "max_in_flight={m}, compute_dtype={cd!r}))"
+    ).format(repo=_REPO, b=batch, i=iters, d=dtype, m=max_in_flight, cd=compute_dtype)
+    t0 = time.time()
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True,
+            timeout=timeout, cwd=_REPO,
+        )
+    except subprocess.TimeoutExpired:
+        return {"error": "timeout"}
+    for line in proc.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return {"images_per_sec": float(line.split()[1]), "wall_s": round(time.time() - t0, 1)}
+    return {"error": (proc.stderr or "no result")[-400:]}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="/tmp/serve_sweep.jsonl")
+    ap.add_argument("--iters", type=int, default=12)
+    ap.add_argument("--quick", action="store_true")
+    args = ap.parse_args()
+
+    cases = [
+        # (batch, dtype, compute_dtype, max_in_flight)
+        (8, "float32", "float32", 6),    # round-2 configuration (control)
+        (8, "float32", "float32", 10),
+        (8, "float32", "bfloat16", 6),
+        (16, "float32", "float32", 6),
+        (16, "float32", "bfloat16", 8),
+        (32, "float32", "bfloat16", 6),
+    ]
+    if args.quick:
+        cases = cases[:2]
+
+    with open(args.out, "a") as f:
+        for batch, dtype, cd, mif in cases:
+            iters = max(6, args.iters * 8 // batch)
+            res = {
+                "batch": batch, "dtype": dtype, "compute_dtype": cd,
+                "max_in_flight": mif, "iters": iters,
+                **run_case(batch, iters, dtype, cd, mif),
+            }
+            line = json.dumps(res)
+            print(line, flush=True)
+            f.write(line + "\n")
+            f.flush()
+            if "error" in res:
+                # Give a crashed worker time to come back before the next case.
+                time.sleep(120)
+
+
+if __name__ == "__main__":
+    main()

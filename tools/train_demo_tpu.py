@@ -92,6 +92,9 @@ def main() -> None:
     # scratch on 8 photos needs a gentler peak to not destroy the
     # identity-init starting point.
     ap.add_argument("--peak_lr", type=float, default=2e-5)
+    ap.add_argument("--model", default="trispace", choices=["trispace", "curve"],
+                    help="flagship polynomial model or the knot-curve model")
+    ap.add_argument("--curve_impl", default="xla", choices=["xla", "pallas"])
     args = ap.parse_args()
 
     n = build_dataset(args.data_dir)
@@ -107,12 +110,18 @@ def main() -> None:
         "--batch_size", str(args.batch_size),
         "--crop_h", str(args.crop), "--crop_w", str(args.crop),
         "--backbone", args.backbone,
-        "--identity_init", "true",
+        "--model", args.model,
         "--peak_lr", str(args.peak_lr),
         "--log_dirpath", args.log_dir,
         "--keep_checkpoints", "2",
         "--save_images", "false",
     ]
+    if args.model == "trispace":
+        # Identity init (sigmoid-constant biases) only applies to the
+        # polynomial model; the curve model starts from its default init.
+        cmd += ["--identity_init", "true"]
+    if args.model == "curve":
+        cmd += ["--curve_impl", args.curve_impl]
     print("train:", " ".join(cmd), flush=True)
     t0 = time.time()
     proc = subprocess.run(cmd, capture_output=True, text=True, cwd=_REPO, timeout=7200)
@@ -144,10 +153,12 @@ def main() -> None:
         "--batch_size", str(args.batch_size),
         "--crop_h", str(args.crop), "--crop_w", str(args.crop),
         "--backbone", args.backbone,
-        "--identity_init", "true",
+        "--model", args.model,
         "--log_dirpath", args.log_dir + "_eval",
         "--save_images", "true",
     ]
+    if args.model == "curve":
+        eval_cmd += ["--curve_impl", args.curve_impl]
     print("eval:", " ".join(eval_cmd), flush=True)
     eproc = subprocess.run(eval_cmd, capture_output=True, text=True, cwd=_REPO, timeout=3600)
     sys.stdout.write(eproc.stdout[-3000:])
@@ -159,6 +170,7 @@ def main() -> None:
     steps = args.epochs  # one step per epoch at batch 8 over 8 train images
 
     payload = {
+        "model": args.model,
         "backbone": args.backbone,
         "epochs": args.epochs,
         "steps": steps,
