@@ -105,7 +105,8 @@ def measure_jax(
 
 
 def measure_jax_resilient(
-    batch: int, iters: int, dtype: str, impl: str, pipelined: bool = True
+    batch: int, iters: int, dtype: str, impl: str, pipelined: bool = True,
+    max_in_flight: int = 4,
 ) -> float:
     """The tunneled TPU worker occasionally crashes under sustained heavy
     programs; measure in a subprocess per attempt, shrinking the batch and
@@ -115,10 +116,14 @@ def measure_jax_resilient(
     import sys
 
     for attempt_batch in (batch, max(1, batch // 4), 1):
+        # Keep the image count roughly constant as the batch shrinks.
+        attempt_iters = max(iters, iters * batch // max(1, attempt_batch) // 2)
         code = (
             "import sys; sys.path.insert(0, {here!r});\n"
-            "import bench; print('RESULT', bench.measure_jax({b}, {i}, {d!r}, {m!r}, {p!r}))"
-        ).format(here=_HERE, b=attempt_batch, i=iters, d=dtype, m=impl, p=pipelined)
+            "import bench; print('RESULT', bench.measure_jax({b}, {i}, {d!r}, {m!r}, {p!r}, "
+            "max_in_flight={mif}))"
+        ).format(here=_HERE, b=attempt_batch, i=attempt_iters, d=dtype, m=impl,
+                 p=pipelined, mif=max_in_flight)
         proc = subprocess.run(
             [sys.executable, "-c", code], capture_output=True, text=True,
             timeout=3000, cwd=_HERE,
@@ -241,12 +246,14 @@ def measure_torch_baseline(batch: int = 1, iters: int = 3) -> float:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=8)
-    # 12 batches through enhance_stream keeps at most 6 programs in flight
-    # (the measured stability envelope of the tunneled worker,
-    # docs/ROOFLINE.md) while amortizing startup; the resilient wrapper
-    # retries with a smaller batch if the worker crashes anyway.
-    ap.add_argument("--iters", type=int, default=12)
+    # Batch 32 with a 4-deep pipeline window is the measured round-3
+    # optimum (396 img/s vs 380 at batch 8 — larger programs amortize the
+    # tunneled worker's per-program turnaround; docs/ROOFLINE.md round 3).
+    # The resilient wrapper retries at smaller batches if the worker
+    # crashes anyway.
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--max_in_flight", type=int, default=4)
     ap.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
     ap.add_argument("--impl", default=os.environ.get("CURL_TPU_IMPL", "pallas"))
     ap.add_argument("--quick", action="store_true", help="small batch/iters")
@@ -309,7 +316,8 @@ def main() -> None:
             baseline = json.load(f).get("torch_cpu_1080p_images_per_sec")
 
     ips = measure_jax_resilient(
-        args.batch, args.iters, args.dtype, args.impl, pipelined=not args.latency
+        args.batch, args.iters, args.dtype, args.impl, pipelined=not args.latency,
+        max_in_flight=args.max_in_flight,
     )
     print(
         json.dumps(

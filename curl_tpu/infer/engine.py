@@ -70,6 +70,16 @@ class Enhancer:
             return out, out[0, 0, 0, 0]
 
         self._full_probe_fn = jax.jit(_full_probe)
+        # Streaming serve function with the variables CLOSED OVER rather
+        # than passed: flattening the ~300-leaf params pytree on every
+        # dispatch costs real host time per batch (measured ~5 ms/batch on
+        # a 1-core host — docs/ROOFLINE.md round 3); captured arrays are
+        # flattened once at trace time.
+        self._serve_fn = jax.jit(
+            lambda img_small, mask_small, target: _full_probe(
+                variables, img_small, mask_small, target
+            )
+        )
 
     def coefficients(self, img_small: Array, mask_small: Array):
         """(B, s, s, 3), (B, s, s, 1) -> (R, L, H) each (B, 3, N)."""
@@ -130,29 +140,76 @@ class Enhancer:
         targets here). On a hypothetical out-of-order backend outputs stay
         correct — consumers block on np.asarray of each result — but more
         than `max_in_flight` programs could be resident at once.
+
+        The probe fetches run on a separate thread (the device client
+        releases the GIL during the blocking fetch): the dispatching thread
+        never sits out the ~31 ms fetch round-trip, which otherwise starves
+        the device once per group (measured +20% throughput,
+        docs/ROOFLINE.md round 3).
         """
-        import collections
+        import queue as queue_mod
+        import threading
 
         group = max(1, max_in_flight // 2)
-        queue = collections.deque()
+        inflight: queue_mod.Queue = queue_mod.Queue()
+        results: queue_mod.Queue = queue_mod.Queue()
+        slots = threading.Semaphore(max_in_flight)
 
-        def drain(n):
-            outs = [queue.popleft() for _ in range(n)]
-            np.asarray(outs[-1][1])  # one fetch completes the whole group
-            return [o for o, _ in outs]
+        def fetcher():
+            pend = []
 
-        for img_small, mask_small, target in batches:
-            # One dispatch per batch: the probe (scalar output corner) is an
-            # extra program OUTPUT, not a separate slice program — halving
-            # dispatches over the tunnel.
-            out, probe = self._full_probe_fn(
-                self.variables, img_small, mask_small, target
-            )
-            queue.append((out, probe))
-            if len(queue) >= max_in_flight:
-                yield from drain(group)
-        while queue:
-            yield from drain(min(group, len(queue)))
+            def flush():
+                try:
+                    np.asarray(pend[-1][1])  # completes the whole group
+                except Exception as e:  # surface device errors to consumer
+                    results.put(("error", e))
+                for o, _ in pend:
+                    results.put(("ok", o))
+                    slots.release()
+                pend.clear()
+
+            while True:
+                item = inflight.get()
+                if item is None:
+                    if pend:
+                        flush()
+                    results.put(None)
+                    return
+                pend.append(item)
+                if len(pend) >= group:
+                    flush()
+
+        thread = threading.Thread(target=fetcher, daemon=True)
+        thread.start()
+
+        def drain_ready(block: bool):
+            while True:
+                try:
+                    r = results.get(block) if block else results.get_nowait()
+                except queue_mod.Empty:
+                    return
+                if r is None:
+                    return
+                kind, payload = r
+                if kind == "error":
+                    raise payload
+                yield payload
+
+        try:
+            for img_small, mask_small, target in batches:
+                slots.acquire()
+                # One dispatch per batch (probe is an extra program output,
+                # not a separate slice program), with the variables closed
+                # over so the per-dispatch Python cost is three leaves, not
+                # ~300 (both measured — docs/ROOFLINE.md round 3).
+                out, probe = self._serve_fn(img_small, mask_small, target)
+                inflight.put((out, probe))
+                yield from drain_ready(block=False)
+            inflight.put(None)
+            yield from drain_ready(block=True)
+        finally:
+            inflight.put(None)  # unblock the fetcher if the consumer bailed
+            thread.join(timeout=60.0)
 
     def enhance_image(
         self,

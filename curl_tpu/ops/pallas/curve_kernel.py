@@ -163,6 +163,11 @@ def _fused_forward(img, mask, knots_lab, knots_rgb, knots_hsv, k_lab, k_rgb, k_h
                 bytes_accessed=int(nbatch * nblocks * block_px * 7 * img.dtype.itemsize),
                 transcendentals=int(nbatch * nblocks * block_px * 24),
             ),
+            # Same declaration as the tri-space kernel: images independent,
+            # blocks pipelined (docs/ROOFLINE.md round 3).
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "arbitrary"),
+            ),
         )
 
     if blocks <= MAX_BLOCKS_PER_CALL:

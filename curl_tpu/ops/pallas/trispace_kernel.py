@@ -201,6 +201,13 @@ def _fused_forward(
                 bytes_accessed=int(nbatch * nblocks * block_px * 3 * 2 * img.dtype.itemsize),
                 transcendentals=int(nbatch * nblocks * block_px * 24),
             ),
+            # Images are independent (parallel); blocks within an image
+            # pipeline sequentially (arbitrary). Declaring this is worth
+            # ~4% per image at batch 8, and lets XLA fuse the NHWC->planar
+            # relayout into the operand (measured, docs/ROOFLINE.md r3).
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "arbitrary"),
+            ),
         )
 
     if blocks <= MAX_BLOCKS_PER_CALL:

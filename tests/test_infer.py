@@ -82,3 +82,31 @@ class TestEnhancer:
         for out, (img, mask, target) in zip(streamed, batches):
             expect = enhancer.enhance_image(img, mask, target)
             np.testing.assert_allclose(np.asarray(out), np.asarray(expect), atol=1e-6)
+
+    def test_enhance_stream_early_abandon(self, enhancer, rng):
+        """Breaking out of the stream must not hang or leak the fetcher
+        thread (the consumer closes the generator mid-pipeline)."""
+        import threading
+
+        def batches():
+            while True:  # endless producer; consumer stops first
+                img = jnp.asarray(rng.uniform(0, 1, (1, 32, 32, 3)).astype(np.float32))
+                mask = jnp.ones((1, 32, 32, 1), jnp.float32)
+                target = jnp.asarray(rng.uniform(0, 1, (1, 48, 48, 3)).astype(np.float32))
+                yield img, mask, target
+
+        before = threading.active_count()
+        gen = enhancer.enhance_stream(batches(), max_in_flight=4)
+        got = [next(gen) for _ in range(3)]
+        gen.close()  # runs the generator's finally
+        assert len(got) == 3
+        assert threading.active_count() <= before + 1  # fetcher joined
+
+    def test_enhance_stream_propagates_batch_errors(self, enhancer, rng):
+        """A bad batch (wrong rank) must raise to the consumer, not hang."""
+        img = jnp.asarray(rng.uniform(0, 1, (1, 32, 32, 3)).astype(np.float32))
+        mask = jnp.ones((1, 32, 32, 1), jnp.float32)
+        target = jnp.asarray(rng.uniform(0, 1, (1, 48, 48, 3)).astype(np.float32))
+        batches = [(img, mask, target), (img, mask, target[0]), (img, mask, target)]
+        with pytest.raises(Exception):
+            list(enhancer.enhance_stream(iter(batches), max_in_flight=2))
