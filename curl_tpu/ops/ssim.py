@@ -30,29 +30,33 @@ MSSSIM_WEIGHTS = (0.0448, 0.2856, 0.3001, 0.2363, 0.1333)
 
 
 @lru_cache(maxsize=None)
-def _gaussian_kernel(window_size: int, sigma: float, channels: int) -> np.ndarray:
-    """(W, W, 1, C) HWIO depthwise kernel of normalized Gaussian weights
-    (reference metric.py:87-117)."""
+def _gaussian_1d(window_size: int, sigma: float) -> np.ndarray:
+    """Normalized 1-D Gaussian tap vector (reference metric.py:87-117 builds
+    its 2-D window as the outer product of exactly this vector)."""
     g = np.array(
         [math.exp(-((x - window_size // 2) ** 2) / (2.0 * sigma**2)) for x in range(window_size)],
         dtype=np.float32,
     )
-    g = g / g.sum()
-    k2d = np.outer(g, g).astype(np.float32)
-    return np.tile(k2d[:, :, None, None], (1, 1, 1, channels))
+    return g / g.sum()
 
 
 def _depthwise_blur(img: Array, window_size: int, sigma: float) -> Array:
+    """Separable Gaussian blur: the reference's 2-D window is an outer
+    product (metric.py:98-103), so two 1-D depthwise convs compute the same
+    sums with W+W taps/pixel instead of W*W — the dominant FLOPs of the
+    training loss's MS-SSIM pyramid (6 blurs x 5 levels fwd+bwd)."""
     c = img.shape[-1]
-    kernel = jnp.asarray(_gaussian_kernel(window_size, sigma, c), dtype=img.dtype)
+    g = _gaussian_1d(window_size, sigma)
     pad = window_size // 2
+    kh = jnp.asarray(np.tile(g[:, None, None, None], (1, 1, 1, c)), dtype=img.dtype)
+    kw = jnp.asarray(np.tile(g[None, :, None, None], (1, 1, 1, c)), dtype=img.dtype)
+    out = jax.lax.conv_general_dilated(
+        img, kh, window_strides=(1, 1), padding=[(pad, pad), (0, 0)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=c,
+    )
     return jax.lax.conv_general_dilated(
-        img,
-        kernel,
-        window_strides=(1, 1),
-        padding=[(pad, pad), (pad, pad)],
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        feature_group_count=c,
+        out, kw, window_strides=(1, 1), padding=[(0, 0), (pad, pad)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=c,
     )
 
 
