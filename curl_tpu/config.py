@@ -25,6 +25,11 @@ class Config:
     eval_split: str = "inference"  # inference | test | valid | train
     batch_size: int = 32  # global batch (reference default per-gpu 32, main.py:88)
     num_workers: int = 8  # decode threads (reference: 11 procs, main.py:89)
+    # Decoded-image RAM cache budget per Loader, MB (0 = off). The reference
+    # re-decodes every image every epoch (data.py:83-193); on few-core hosts
+    # decode is the training bottleneck and a first-N-that-fit cache removes
+    # it for datasets that fit (Adobe5K ~25 GB decoded).
+    cache_mb: int = 0
     crop_h: int = 256
     crop_w: int = 256
 

@@ -38,6 +38,13 @@ class Loader:
       num_threads: decode thread pool size (reference default 11 workers,
         main.py:89).
       process_index/process_count: this host's shard of the global batch.
+      cache_mb: decoded-image RAM cache budget (0 = off). Images are
+        cached fully decoded, pre-crop; once the budget is full, remaining
+        images keep decoding from disk. Epochs revisit every image, so
+        "first-N-that-fit" is the right policy (no eviction). The
+        reference re-decodes every epoch (data.py:83-193); on hosts where
+        decode is the training bottleneck this removes it entirely for
+        datasets that fit.
     """
 
     def __init__(
@@ -51,6 +58,7 @@ class Loader:
         num_threads: int = 8,
         process_index: Optional[int] = None,
         process_count: Optional[int] = None,
+        cache_mb: int = 0,
     ):
         self.records = list(records)
         self.global_batch = batch_size
@@ -71,6 +79,27 @@ class Loader:
             )
         self.local_batch = batch_size // self.process_count
         self.epoch = 0
+        import threading
+
+        self._cache: Optional[dict[int, dict]] = {} if cache_mb > 0 else None
+        self._cache_limit = cache_mb * 1024 * 1024
+        self._cache_bytes = 0
+        self._cache_lock = threading.Lock()
+
+    def _load_record(self, global_idx: int) -> dict[str, np.ndarray]:
+        if self._cache is None:
+            return ds.load_example(self.records[global_idx])
+        with self._cache_lock:
+            hit = self._cache.get(global_idx)
+        if hit is not None:
+            return hit
+        ex = ds.load_example(self.records[global_idx])
+        size = sum(v.nbytes for v in ex.values() if isinstance(v, np.ndarray))
+        with self._cache_lock:
+            if self._cache_bytes + size <= self._cache_limit:
+                self._cache[global_idx] = ex
+                self._cache_bytes += size
+        return ex
 
     def __len__(self) -> int:
         n = len(self.records)
@@ -95,8 +124,7 @@ class Loader:
         )
 
         def load_one(global_idx: int, pos: int) -> dict[str, np.ndarray]:
-            rec = self.records[global_idx % len(self.records)]
-            ex = ds.load_example(rec)
+            ex = self._load_record(int(global_idx) % len(self.records))
             if self.crop is not None:
                 # Per-example deterministic crop rng; thread-safe by
                 # derivation from position, not shared state.

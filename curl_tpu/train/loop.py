@@ -158,6 +158,7 @@ class Trainer:
             train=True,
             seed=cfg.seed,
             num_threads=cfg.num_workers,
+            cache_mb=cfg.cache_mb,
         )
         self.valid_loader = pipeline.Loader(
             valid_records,
@@ -165,6 +166,7 @@ class Trainer:
             crop=(cfg.crop_h, cfg.crop_w),
             train=False,
             num_threads=cfg.num_workers,
+            cache_mb=cfg.cache_mb,
         )
 
         self.model = build_model(cfg)

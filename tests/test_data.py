@@ -155,6 +155,39 @@ class TestLoader:
         assert int(batches[0]["valid_count"]) == 2
         assert int(batches[1]["valid_count"]) == 1
 
+    def test_decoded_cache_identical_and_skips_decode(self, mini_dataset, monkeypatch):
+        """cache_mb>0 must not change any batch, and the second epoch must
+        not hit the decoder for cached images (first-N-that-fit policy)."""
+        records = cdata.scan_data_dir(mini_dataset)
+        recs = cdata.select_records(
+            records, cdata.read_split_ids(mini_dataset / "images_train.txt")
+        )
+        from curl_tpu.data import dataset as ds, pipeline
+
+        calls = {"n": 0}
+        real_load = ds.load_example
+
+        def counting_load(rec):
+            calls["n"] += 1
+            return real_load(rec)
+
+        monkeypatch.setattr(pipeline.ds, "load_example", counting_load)
+        plain = cdata.Loader(recs, batch_size=2, crop=(32, 32), train=True, seed=3)
+        cached = cdata.Loader(
+            recs, batch_size=2, crop=(32, 32), train=True, seed=3, cache_mb=256
+        )
+        for ep in range(2):
+            plain.set_epoch(ep)
+            cached.set_epoch(ep)
+            for bp, bc in zip(plain, cached):
+                assert bp["name"] == bc["name"]
+                np.testing.assert_array_equal(bp["input_img"], bc["input_img"])
+                np.testing.assert_array_equal(bp["output_img"], bc["output_img"])
+        # plain decodes every image both epochs (2n); cached decodes each
+        # image exactly once (n) and serves epoch 1 from RAM.
+        n = len(recs)
+        assert calls["n"] == 2 * n + n
+
     def test_process_sharding_partitions_batch(self, mini_dataset):
         records = cdata.scan_data_dir(mini_dataset)
         recs = cdata.select_records(records, ["1", "2", "3", "a0004"])
