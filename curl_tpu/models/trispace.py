@@ -90,6 +90,12 @@ class TriSpacePolyNet(nn.Module):
     backbone: Union[str, bb.BackboneCfg] = "efficientnetv2_rw_t"
     bn_axis_name: Optional[str] = None
     residual_impl: str = "xla"
+    # Polynomial evaluation form: "auto" uses the MXU-matmul basis form when
+    # train=True (the backward through the accumulation form is ~500
+    # HBM-bound elementwise ops — measured 50.2 -> 4.9 ms fwd+bwd on the
+    # v5e, docs/ROOFLINE.md round 3) and the low-memory accumulation form
+    # for inference/eval. "acc"/"matmul" force one form.
+    residual_form: str = "auto"
     compute_dtype: str = "float32"  # backbone compute dtype; bfloat16 halves
     # conv time on the MXU while coefficients and the residual stay fp32
     identity_init: bool = False  # initialize as the identity transform
@@ -143,6 +149,9 @@ class TriSpacePolyNet(nn.Module):
         call argument."""
         coeff_rgb, coeff_lab, coeff_hsv = self.generate_coefficients(img, mask, train=train)
         apply_img = img if target_img is None else target_img
+        form = self.residual_form
+        if form == "auto":
+            form = "matmul" if train else "acc"
         residual = enhance.trispace_residual(
             apply_img,
             coeff_rgb,
@@ -151,6 +160,7 @@ class TriSpacePolyNet(nn.Module):
             degree=self.polynomial_order,
             spatial=self.spatial,
             impl=self.residual_impl,
+            form=form,
         )
         if return_residual:
             return residual
@@ -176,6 +186,10 @@ class PolyRegNet(nn.Module):
         coeffs = nn.Dense(self.num_channels * n, name="classifier")(feats)
         coeffs = coeffs.reshape(img.shape[0], self.num_channels, n)
         out = jax.nn.sigmoid(
-            poly.poly_apply(img, coeffs, degree=self.polynomial_order, num_out=self.num_channels)
+            poly.poly_apply(
+                img, coeffs, degree=self.polynomial_order,
+                num_out=self.num_channels,
+                form="matmul" if train else "acc",
+            )
         )
         return out * mask.astype(out.dtype)

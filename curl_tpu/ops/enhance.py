@@ -27,7 +27,8 @@ from curl_tpu.ops import color, coords, poly
 
 
 def _space_residual(
-    img_space: Array, cf: Array, degree: int, spatial: bool, tile: tuple
+    img_space: Array, cf: Array, degree: int, spatial: bool, tile: tuple,
+    form: str = "acc",
 ) -> Array:
     if spatial:
         row0, col0, th, tw = tile
@@ -40,7 +41,9 @@ def _space_residual(
         )
     else:
         x = img_space
-    return jax.nn.sigmoid(poly.poly_apply(x, cf, degree=degree, num_out=3))
+    return jax.nn.sigmoid(
+        poly.poly_apply(x, cf, degree=degree, num_out=3, form=form)
+    )
 
 
 def trispace_residual(
@@ -53,6 +56,7 @@ def trispace_residual(
     spatial: bool = True,
     impl: str = "xla",
     tile: tuple = None,
+    form: str = "acc",
 ) -> Array:
     """Enhancement residual in [-3, 3]: (B,H,W,3) RGB + 3x (B,3,N) coeffs.
 
@@ -73,10 +77,14 @@ def trispace_residual(
     return _trispace_residual_jit(
         img, coeff_rgb, coeff_lab, coeff_hsv, row0,
         degree=degree, spatial=spatial, impl=impl, static_tile=(col0, th, tw),
+        form=form,
     )
 
 
-@partial(jax.jit, static_argnames=("degree", "spatial", "impl", "static_tile"))
+@partial(
+    jax.jit,
+    static_argnames=("degree", "spatial", "impl", "static_tile", "form"),
+)
 def _trispace_residual_jit(
     img: Array,
     coeff_rgb: Array,
@@ -88,6 +96,7 @@ def _trispace_residual_jit(
     spatial: bool,
     impl: str,
     static_tile: tuple,
+    form: str = "acc",
 ) -> Array:
     col0, th, tw = static_tile
     tile = (row0, col0, th, tw)
@@ -103,12 +112,12 @@ def _trispace_residual_jit(
     # internal upcast — and the result is stored back in the input dtype.
     in_dtype = img.dtype
     img = img.astype(jnp.float32)
-    rgb_res = _space_residual(img, coeff_rgb, degree, spatial, tile)
+    rgb_res = _space_residual(img, coeff_rgb, degree, spatial, tile, form)
     lab_res = color.lab_to_rgb(
-        _space_residual(color.rgb_to_lab(img), coeff_lab, degree, spatial, tile)
+        _space_residual(color.rgb_to_lab(img), coeff_lab, degree, spatial, tile, form)
     )
     hsv_res = color.hsv_to_rgb(
-        _space_residual(color.rgb_to_hsv(img), coeff_hsv, degree, spatial, tile)
+        _space_residual(color.rgb_to_hsv(img), coeff_hsv, degree, spatial, tile, form)
     )
     return (
         2.0 * (rgb_res - 0.5) + 2.0 * (lab_res - 0.5) + 2.0 * (hsv_res - 0.5)

@@ -135,10 +135,39 @@ def _eval_flat(flat: Array, coeffs_t: Array, degree: int) -> Array:
     return jnp.stack(accs, axis=-1)
 
 
+def _eval_flat_matmul(flat: Array, coeffs_t: Array, degree: int) -> Array:
+    """(B, P, V) pixels -> (B, P, num_out) with the monomial basis stacked
+    on axis 0 — (N, B, P), whose trailing (B, P) dims tile cleanly (the
+    round-1 compile blowup came from (B, P, 1) concat operands padding
+    1 -> 128, which axis-0 stacking avoids) — contracted with an einsum the
+    compiler runs on the MXU.
+
+    Under autodiff this form is the training fast path: the coefficient
+    gradient is the transpose matmul basis^T @ g (MXU) instead of ~378
+    separate (B, P) multiply-reduces, and the saved-for-backward residue is
+    one (N, B, P) buffer instead of per-term chain values. Measured on the
+    real v5e: tri-space residual fwd+bwd 50.2 -> 4.9 ms (256^2, batch 8)
+    vs the accumulation form (docs/ROOFLINE.md round 3).
+
+    HIGHEST matmul precision: the contraction mixes coefficients spanning
+    orders of magnitude; single-pass bf16 loses parity with the fp32
+    reference (CLAUDE.md). The cost is negligible — the contraction is
+    ~0.4 GFLOP where the basis chain is the real work.
+    """
+    v = flat.shape[-1]
+    channels = [flat[..., i] for i in range(v)]
+    plan = monomial_chain(degree, v)
+    terms = [jnp.ones_like(channels[0])]
+    for parent, var in plan:
+        terms.append(terms[parent] * channels[var])
+    basis = jnp.stack(terms, axis=0)  # (N, B, P)
+    return jnp.einsum(
+        "nbp,bnc->bpc", basis, coeffs_t, precision=jax.lax.Precision.HIGHEST
+    )
 
 
 
-@partial(jax.jit, static_argnames=("degree", "num_out", "chunk_pixels"))
+@partial(jax.jit, static_argnames=("degree", "num_out", "chunk_pixels", "form"))
 def poly_apply(
     img: Array,
     coeffs: Array,
@@ -146,6 +175,7 @@ def poly_apply(
     degree: int = 4,
     num_out: int = 3,
     chunk_pixels: int = _DEFAULT_CHUNK,
+    form: str = "acc",
 ) -> Array:
     """Per-pixel polynomial transform with per-image coefficients.
 
@@ -159,6 +189,11 @@ def poly_apply(
       num_out: output channels.
       chunk_pixels: evaluate at most this many pixels at a time (scanned),
         bounding the transient basis buffer at high resolution.
+      form: "acc" (scalar-broadcast accumulation; minimal live buffers, the
+        inference/chunked default) or "matmul" (axis-0-stacked basis + MXU
+        einsum; the fast form under autodiff — see `_eval_flat_matmul`).
+        Chunked evaluation always uses "acc" (the chunk bound exists to
+        avoid materializing a basis at all).
 
     Returns:
       (B, H, W, num_out).
@@ -176,7 +211,8 @@ def poly_apply(
     # Symbolic dims (jax.export shape polymorphism) can't be compared against
     # the chunk bound; export paths take the unchunked branch.
     if not isinstance(p, int) or p <= chunk_pixels:
-        out = _eval_flat(flat, coeffs_t, degree)
+        eval_fn = _eval_flat_matmul if form == "matmul" else _eval_flat
+        out = eval_fn(flat, coeffs_t, degree)
     else:
         n_chunks = -(-p // chunk_pixels)
         padded = n_chunks * chunk_pixels

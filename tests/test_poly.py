@@ -82,6 +82,30 @@ class TestPolyApply:
         assert np.isfinite(np.asarray(g)).all()
         assert float(jnp.abs(g).max()) > 0
 
+    def test_matmul_form_matches_acc_value_and_grad(self, rng):
+        """The MXU-matmul basis form (training fast path) must equal the
+        accumulation form in both the output and the coefficient gradient
+        — the quantities real training consumes."""
+        import jax
+
+        img = jnp.asarray(rng.uniform(0, 1, size=(2, 8, 8, 5)).astype(np.float32))
+        coeffs = jnp.asarray(
+            rng.normal(scale=0.1, size=(2, 3, 126)).astype(np.float32)
+        )
+        oa = poly.poly_apply(img, coeffs, degree=4, form="acc")
+        om = poly.poly_apply(img, coeffs, degree=4, form="matmul")
+        np.testing.assert_allclose(np.asarray(oa), np.asarray(om), atol=1e-5)
+        ga = jax.grad(
+            lambda c: jnp.sum(poly.poly_apply(img, c, degree=4, form="acc"))
+        )(coeffs)
+        gm = jax.grad(
+            lambda c: jnp.sum(poly.poly_apply(img, c, degree=4, form="matmul"))
+        )(coeffs)
+        scale = float(jnp.abs(ga).max())
+        np.testing.assert_allclose(
+            np.asarray(ga), np.asarray(gm), atol=1e-6 * max(scale, 1.0)
+        )
+
 
 @requires_reference
 class TestReferenceParity:

@@ -167,7 +167,7 @@ def main() -> None:
 
                     el = color.rgb_to_lab(jnp.clip(e, 0, 1))[..., :1]
                     ol = color.rgb_to_lab(jnp.clip(o_, 0, 1))[..., :1]
-                    return ssim.ms_ssim(el, ol)
+                    return jnp.mean(ssim.ms_ssim(el, ol))
 
                 return jax.grad(term)(e)
 
