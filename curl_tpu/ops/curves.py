@@ -53,15 +53,20 @@ def curve_scale(channel: Array, knots: Array, mode: Mode = "paper") -> Array:
     k = knots.shape[-1]
     steps = jnp.asarray(k - 1, dtype=channel.dtype)
     slope = knots[:, 1:] - knots[:, :-1]  # (B, K-1)
-    x = steps * channel[..., None]  # (B, H, W, 1)
+    # Ramps stacked on axis 0 — (K-1, B, H, W), whose trailing (H, W) dims
+    # tile cleanly on TPU. The (B, H, W, K-1) layout pads the minor dim
+    # 47 -> 128 (2.7x HBM traffic, forward and backward); axis-0 stacking
+    # avoids it, and the contraction (plus its transpose in the backward)
+    # runs as a matmul.
+    x = steps * channel[None]  # (1, B, H, W)
     if mode == "paper":
-        seg = jnp.arange(k - 1, dtype=channel.dtype)
-        ramps = jnp.clip(x - seg, 0.0, 1.0)  # (B, H, W, K-1)
-        contrib = jnp.einsum("bhwk,bk->bhw", ramps, slope)
+        seg = jnp.arange(k - 1, dtype=channel.dtype)[:, None, None, None]
+        ramps = jnp.clip(x - seg, 0.0, 1.0)  # (K-1, B, H, W)
+        contrib = jnp.einsum("kbhw,bk->bhw", ramps, slope)
     else:
-        seg = jnp.arange(k - 2, dtype=channel.dtype)
+        seg = jnp.arange(k - 2, dtype=channel.dtype)[:, None, None, None]
         ramps = x - seg  # unclamped, matches reference curves.py:31-32
-        contrib = jnp.einsum("bhwk,bk->bhw", ramps, slope[:, :-1])
+        contrib = jnp.einsum("kbhw,bk->bhw", ramps, slope[:, :-1])
     return knots[:, 0][:, None, None] + contrib
 
 
