@@ -34,6 +34,15 @@ CASES = (
     "loss",          # 5-term CURL loss fwd+bwd wrt enhanced image
     "ssim",          # MS-SSIM pyramid term alone, fwd+bwd
     "augment",       # device-side augmentation alone
+    # Loss-term ablations of the REAL composed step (fwd + ablated loss +
+    # bwd + adam, no augment): the standalone `apply`/`loss` cases sum to
+    # more than the full step (XLA dedupes shared subgraphs in the
+    # composed graph), so the honest attribution is "full minus ablated".
+    "ablate_l1rgb",  # rgb L1 term only
+    "ablate_nossim", # all terms except MS-SSIM
+    "ablate_nohsv",  # all terms except the HSV-cone L1
+    "ablate_nolab",  # all terms except the Lab L1 (SSIM keeps its own lab)
+    "ablate_nocos",  # all terms except the cosine term
 )
 
 
@@ -114,6 +123,64 @@ def main() -> None:
             def once(i):
                 st["s"], stats = step(st["s"], {"input_img": inp, "output_img": out, "mask": mask}, keys[i])
                 return stats["loss"]
+
+            timed(case, once, lambda r: float(r))
+        elif case.startswith("ablate_"):
+            from functools import partial as _partial
+
+            from curl_tpu.models.losses import (
+                cosine_similarity_map, hsv_cone)
+            from curl_tpu.ops import color as color_ops
+
+            terms = {
+                "ablate_l1rgb": {"rgb"},
+                "ablate_nossim": {"rgb", "cos", "lab", "hsv"},
+                "ablate_nohsv": {"rgb", "cos", "lab", "ssim"},
+                "ablate_nolab": {"rgb", "cos", "ssim", "hsv"},
+                "ablate_nocos": {"rgb", "lab", "ssim", "hsv"},
+            }[case]
+
+            def ablated_loss(predicted, target, m_):
+                m_ = m_.astype(predicted.dtype)
+                unmasked = predicted.shape[-1] * jnp.sum(m_)
+                pred, tgt = predicted * m_, target * m_
+                total = jnp.float32(0)
+                if "rgb" in terms:
+                    total += jnp.sum(jnp.abs(pred - tgt)) / unmasked
+                if "cos" in terms:
+                    cos = cosine_similarity_map(pred, tgt)
+                    total += 1.0 - jnp.mean(cos) - jnp.mean(1.0 - m_)
+                if "lab" in terms or "ssim" in terms:
+                    pred_lab = jnp.clip(color_ops.rgb_to_lab(pred), 0.0, 1.0)
+                    tgt_lab = jnp.clip(color_ops.rgb_to_lab(tgt), 0.0, 1.0)
+                    if "lab" in terms:
+                        total += jnp.sum(jnp.abs(pred_lab - tgt_lab)) / unmasked
+                    if "ssim" in terms:
+                        sv = ssim.ms_ssim(pred_lab[..., 0:1], tgt_lab[..., 0:1])
+                        total += 10.0 * jnp.mean(1.0 - sv)
+                if "hsv" in terms:
+                    total += jnp.sum(jnp.abs(hsv_cone(pred) - hsv_cone(tgt))) / unmasked
+                return total / 5.0
+
+            @_partial(jax.jit, donate_argnums=(0,))
+            def abl_step(st_, i_, o_, m_):
+                def loss_fn(params):
+                    model_out, updates = st_.apply_fn(
+                        {"params": params, "batch_stats": st_.batch_stats},
+                        i_, m_, train=True, mutable=["batch_stats"],
+                    )
+                    return ablated_loss(model_out, o_, m_), updates
+
+                (l, updates), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                    st_.params
+                )
+                return st_.apply_gradients(grads, updates["batch_stats"]), l
+
+            st = {"s": jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), state)}
+
+            def once(i):
+                st["s"], l = abl_step(st["s"], inp, out, mask)
+                return l
 
             timed(case, once, lambda r: float(r))
         elif case == "fwd_loss":
