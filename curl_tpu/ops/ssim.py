@@ -40,11 +40,55 @@ def _gaussian_1d(window_size: int, sigma: float) -> np.ndarray:
     return g / g.sum()
 
 
+@lru_cache(maxsize=None)
+def _blur_matrix(n: int, window_size: int, sigma: float) -> np.ndarray:
+    """(n, n) banded Toeplitz matrix M with (x @ M)[v] = sum_u g[u-v+pad] x[u]
+    — exactly the zero-padded 'same' 1-D convolution `_depthwise_blur`
+    computes, expressed as a matmul."""
+    g = _gaussian_1d(window_size, sigma)
+    pad = window_size // 2
+    m = np.zeros((n, n), np.float32)
+    for t in range(window_size):
+        off = t - pad  # u - v
+        m += np.eye(n, k=-off, dtype=np.float32) * g[t]
+    return m
+
+
+# Above this edge length the dense (n, n) blur matrices get heavy (4K -> 64 MB
+# each) and the depthwise-conv form wins on memory; below it the matmul form
+# wins by a mile on the MXU (1-channel depthwise convs waste 127/128 lanes,
+# and their backward is the measured 50 ms of the 69.6 ms train step).
+_MATMUL_BLUR_MAX_DIM = 2048
+
+
+def _matmul_blur(img: Array, window_size: int, sigma: float) -> Array:
+    """Separable Gaussian blur as two banded-matrix matmuls (H then W).
+
+    Identical math to `_depthwise_blur` (same taps, same zero padding) in a
+    shape the MXU tiles natively: (B*W*C, H) @ (H, H) and (B*H*C, W) @ (W, W).
+    The backward is the transposed matmuls instead of conv grads. HIGHEST
+    precision keeps the metric exact regardless of the session's global
+    matmul-precision setting (taps sum to 1; inputs are [0,1] images)."""
+    hi = jax.lax.Precision.HIGHEST
+    n_h, n_w = img.shape[1], img.shape[2]
+    mh = jnp.asarray(_blur_matrix(n_h, window_size, sigma), img.dtype)
+    mw = jnp.asarray(_blur_matrix(n_w, window_size, sigma), img.dtype)
+    out = jnp.einsum("bhwc,hu->buwc", img, mh, precision=hi)
+    return jnp.einsum("bhwc,wv->bhvc", out, mw, precision=hi)
+
+
+def _blur(img: Array, window_size: int, sigma: float) -> Array:
+    if max(img.shape[1], img.shape[2]) <= _MATMUL_BLUR_MAX_DIM:
+        return _matmul_blur(img, window_size, sigma)
+    return _depthwise_blur(img, window_size, sigma)
+
+
 def _depthwise_blur(img: Array, window_size: int, sigma: float) -> Array:
     """Separable Gaussian blur: the reference's 2-D window is an outer
     product (metric.py:98-103), so two 1-D depthwise convs compute the same
-    sums with W+W taps/pixel instead of W*W — the dominant FLOPs of the
-    training loss's MS-SSIM pyramid (6 blurs x 5 levels fwd+bwd)."""
+    sums with W+W taps/pixel instead of W*W. Fallback for very large images
+    (see `_MATMUL_BLUR_MAX_DIM`); the matmul form carries the training
+    loss."""
     c = img.shape[-1]
     g = _gaussian_1d(window_size, sigma)
     pad = window_size // 2
@@ -68,12 +112,21 @@ def ssim(
 ) -> tuple[Array, Array]:
     """Single-scale SSIM. Returns per-image (ssim_mean, contrast_structure)
     both shaped (B,) (reference `compute_ssim`, metric.py:119-160)."""
-    mu1 = _depthwise_blur(img1, window_size, sigma)
-    mu2 = _depthwise_blur(img2, window_size, sigma)
+    # One blur over the channel-stacked windows: the five inputs ride the
+    # contraction's free dimension together (5x the matmul rows) instead of
+    # five separate dispatches.
+    c = img1.shape[-1]
+    stacked = jnp.concatenate(
+        [img1, img2, img1 * img1, img2 * img2, img1 * img2], axis=-1
+    )
+    blurred = _blur(stacked, window_size, sigma)
+    mu1, mu2, m11, m22, m12 = (
+        blurred[..., i * c : (i + 1) * c] for i in range(5)
+    )
     mu1_sq, mu2_sq, mu1_mu2 = mu1 * mu1, mu2 * mu2, mu1 * mu2
-    sigma1_sq = _depthwise_blur(img1 * img1, window_size, sigma) - mu1_sq
-    sigma2_sq = _depthwise_blur(img2 * img2, window_size, sigma) - mu2_sq
-    sigma12 = _depthwise_blur(img1 * img2, window_size, sigma) - mu1_mu2
+    sigma1_sq = m11 - mu1_sq
+    sigma2_sq = m22 - mu2_sq
+    sigma12 = m12 - mu1_mu2
 
     c1, c2 = 0.01**2, 0.03**2
     ssim_map = ((2.0 * mu1_mu2 + c1) * (2.0 * sigma12 + c2)) / (
@@ -85,11 +138,14 @@ def ssim(
 
 def _avg_pool_2x2(img: Array) -> Array:
     """Non-overlapping 2x2 mean pool, floor semantics — matches torch
-    `F.avg_pool2d(x, (2, 2))` (reference metric.py:192-193)."""
-    summed = jax.lax.reduce_window(
-        img, 0.0, jax.lax.add, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
-    )
-    return summed * 0.25
+    `F.avg_pool2d(x, (2, 2))` (reference metric.py:192-193).
+
+    Crop-to-even + reshape + mean rather than `lax.reduce_window`: identical
+    values (VALID windows never touch the cropped trailing row/col), and the
+    backward is a broadcast instead of a select-and-scatter."""
+    b, h, w, ch = img.shape
+    img = img[:, : (h // 2) * 2, : (w // 2) * 2, :]
+    return img.reshape(b, h // 2, 2, w // 2, 2, ch).mean(axis=(2, 4))
 
 
 @partial(jax.jit, static_argnames=("window_size", "levels"))

@@ -24,6 +24,23 @@ class TestProperties:
         noisy = jnp.clip(img + 0.3 * jnp.asarray(rng.normal(size=img.shape).astype(np.float32)), 0, 1)
         assert float(ssim_ops.ms_ssim(img, noisy)[0]) < float(ssim_ops.ms_ssim(img, img)[0])
 
+    def test_matmul_blur_matches_depthwise(self, rng):
+        """The MXU matmul form of the Gaussian blur is the same zero-padded
+        convolution as the depthwise form — exact on CPU fp32."""
+        img = jnp.asarray(rng.uniform(0, 1, (2, 48, 64, 5)).astype(np.float32))
+        a = ssim_ops._matmul_blur(img, 11, 1.5)
+        b = ssim_ops._depthwise_blur(img, 11, 1.5)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-6)
+
+    def test_avg_pool_odd_floor_semantics(self, rng):
+        """Odd trailing row/col is dropped, matching torch F.avg_pool2d."""
+        img = jnp.asarray(rng.uniform(0, 1, (1, 7, 9, 2)).astype(np.float32))
+        out = np.asarray(ssim_ops._avg_pool_2x2(img))
+        assert out.shape == (1, 3, 4, 2)
+        ref = np.asarray(img)[:, :6, :8, :]
+        ref = ref.reshape(1, 3, 2, 4, 2, 2).mean(axis=(2, 4))
+        np.testing.assert_allclose(out, ref, atol=1e-7)
+
     def test_differentiable(self, rng):
         import jax
 
