@@ -90,11 +90,11 @@ class TriSpacePolyNet(nn.Module):
     backbone: Union[str, bb.BackboneCfg] = "efficientnetv2_rw_t"
     bn_axis_name: Optional[str] = None
     residual_impl: str = "xla"
-    # Polynomial evaluation form: "auto" uses the MXU-matmul basis form when
-    # train=True (the backward through the accumulation form is ~500
-    # HBM-bound elementwise ops — measured 50.2 -> 4.9 ms fwd+bwd on the
-    # v5e, docs/ROOFLINE.md round 3) and the low-memory accumulation form
-    # for inference/eval. "acc"/"matmul" force one form.
+    # Polynomial evaluation form. "auto" = "acc" (the accumulation form
+    # measured FASTER under autodiff too: 3.5 vs 5.8 ms/step fwd+bwd at
+    # 256^2 batch 8 on the v5e — tools/poly_grad_probe.py; the residual is
+    # ~3.5 of the 69.6 ms train step, the loss dominates). "matmul" forces
+    # the stacked-basis MXU form, kept for measurement.
     residual_form: str = "auto"
     compute_dtype: str = "float32"  # backbone compute dtype; bfloat16 halves
     # conv time on the MXU while coefficients and the residual stay fp32
@@ -149,9 +149,7 @@ class TriSpacePolyNet(nn.Module):
         call argument."""
         coeff_rgb, coeff_lab, coeff_hsv = self.generate_coefficients(img, mask, train=train)
         apply_img = img if target_img is None else target_img
-        form = self.residual_form
-        if form == "auto":
-            form = "matmul" if train else "acc"
+        form = "acc" if self.residual_form == "auto" else self.residual_form
         residual = enhance.trispace_residual(
             apply_img,
             coeff_rgb,
@@ -189,7 +187,6 @@ class PolyRegNet(nn.Module):
             poly.poly_apply(
                 img, coeffs, degree=self.polynomial_order,
                 num_out=self.num_channels,
-                form="matmul" if train else "acc",
             )
         )
         return out * mask.astype(out.dtype)

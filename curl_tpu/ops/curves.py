@@ -59,14 +59,19 @@ def curve_scale(channel: Array, knots: Array, mode: Mode = "paper") -> Array:
     # avoids it, and the contraction (plus its transpose in the backward)
     # runs as a matmul.
     x = steps * channel[None]  # (1, B, H, W)
+    # HIGHEST precision: on TPU the default single-pass bf16 matmul makes
+    # this contraction diverge from the fp32 Pallas kernel by ~1e-2
+    # (measured on the v5e via tools/curve_bench.py --case check); the
+    # contraction is tiny (K~47) so the accurate passes cost nothing.
+    hi = jax.lax.Precision.HIGHEST
     if mode == "paper":
         seg = jnp.arange(k - 1, dtype=channel.dtype)[:, None, None, None]
         ramps = jnp.clip(x - seg, 0.0, 1.0)  # (K-1, B, H, W)
-        contrib = jnp.einsum("kbhw,bk->bhw", ramps, slope)
+        contrib = jnp.einsum("kbhw,bk->bhw", ramps, slope, precision=hi)
     else:
         seg = jnp.arange(k - 2, dtype=channel.dtype)[:, None, None, None]
         ramps = x - seg  # unclamped, matches reference curves.py:31-32
-        contrib = jnp.einsum("kbhw,bk->bhw", ramps, slope[:, :-1])
+        contrib = jnp.einsum("kbhw,bk->bhw", ramps, slope[:, :-1], precision=hi)
     return knots[:, 0][:, None, None] + contrib
 
 

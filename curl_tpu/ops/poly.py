@@ -142,12 +142,12 @@ def _eval_flat_matmul(flat: Array, coeffs_t: Array, degree: int) -> Array:
     1 -> 128, which axis-0 stacking avoids) — contracted with an einsum the
     compiler runs on the MXU.
 
-    Under autodiff this form is the training fast path: the coefficient
-    gradient is the transpose matmul basis^T @ g (MXU) instead of ~378
-    separate (B, P) multiply-reduces, and the saved-for-backward residue is
-    one (N, B, P) buffer instead of per-term chain values. Measured on the
-    real v5e: tri-space residual fwd+bwd 50.2 -> 4.9 ms (256^2, batch 8)
-    vs the accumulation form (docs/ROOFLINE.md round 3).
+    Measured on the real v5e (tools/poly_grad_probe.py, 256^2 batch 8,
+    tri-space residual fwd+bwd wrt coefficients): accumulation form
+    3.5 ms/step, this matmul form 5.8 ms/step — XLA already fuses the
+    accumulation chain's backward well, and the stacked basis pays an
+    extra HBM round trip. Kept as an experimental alternative (and as the
+    measurement that *rules it out*); "acc" stays the default everywhere.
 
     HIGHEST matmul precision: the contraction mixes coefficients spanning
     orders of magnitude; single-pass bf16 loses parity with the fp32
@@ -189,11 +189,11 @@ def poly_apply(
       num_out: output channels.
       chunk_pixels: evaluate at most this many pixels at a time (scanned),
         bounding the transient basis buffer at high resolution.
-      form: "acc" (scalar-broadcast accumulation; minimal live buffers, the
-        inference/chunked default) or "matmul" (axis-0-stacked basis + MXU
-        einsum; the fast form under autodiff — see `_eval_flat_matmul`).
-        Chunked evaluation always uses "acc" (the chunk bound exists to
-        avoid materializing a basis at all).
+      form: "acc" (scalar-broadcast accumulation; minimal live buffers and
+        measured fastest both forward and under autodiff — the default) or
+        "matmul" (axis-0-stacked basis + MXU einsum, kept for measurement;
+        see `_eval_flat_matmul`). Chunked evaluation always uses "acc"
+        (the chunk bound exists to avoid materializing a basis at all).
 
     Returns:
       (B, H, W, num_out).
