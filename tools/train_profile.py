@@ -33,6 +33,8 @@ CASES = (
     "apply",         # tri-space residual fwd+bwd wrt coeffs (no backbone)
     "loss",          # 5-term CURL loss fwd+bwd wrt enhanced image
     "ssim",          # MS-SSIM pyramid term alone, fwd+bwd
+    "hsv",           # HSV-cone L1 term alone, fwd+bwd
+    "lab",           # Lab L1 term alone, fwd+bwd
     "augment",       # device-side augmentation alone
     # Loss-term ablations of the REAL composed step (fwd + ablated loss +
     # bwd + adam, no augment): the standalone `apply`/`loss` cases sum to
@@ -235,6 +237,22 @@ def main() -> None:
                     el = color.rgb_to_lab(jnp.clip(e, 0, 1))[..., :1]
                     ol = color.rgb_to_lab(jnp.clip(o_, 0, 1))[..., :1]
                     return jnp.mean(ssim.ms_ssim(el, ol))
+
+                return jax.grad(term)(e)
+
+            timed(case, lambda i: f(inp, out, mask), corner)
+        elif case in ("hsv", "lab"):
+            from curl_tpu.models.losses import hsv_cone
+            from curl_tpu.ops import color as color_ops
+
+            @jax.jit
+            def f(e, o_, m_):
+                def term(e):
+                    if case == "hsv":
+                        return jnp.sum(jnp.abs(hsv_cone(e) - hsv_cone(o_)))
+                    pl = jnp.clip(color_ops.rgb_to_lab(e), 0.0, 1.0)
+                    tl = jnp.clip(color_ops.rgb_to_lab(o_), 0.0, 1.0)
+                    return jnp.sum(jnp.abs(pl - tl))
 
                 return jax.grad(term)(e)
 
