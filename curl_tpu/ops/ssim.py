@@ -78,7 +78,14 @@ def _matmul_blur(img: Array, window_size: int, sigma: float) -> Array:
 
 
 def _blur(img: Array, window_size: int, sigma: float) -> Array:
-    if max(img.shape[1], img.shape[2]) <= _MATMUL_BLUR_MAX_DIM:
+    # The matmul form trades ~n/(2*window) more FLOPs for MXU shape — a
+    # huge win on accelerators, a plain slowdown on CPU where the separable
+    # conv is already cheap. Trace-time backend check; both forms are
+    # value-identical (pinned by test).
+    if (
+        jax.default_backend() != "cpu"
+        and max(img.shape[1], img.shape[2]) <= _MATMUL_BLUR_MAX_DIM
+    ):
         return _matmul_blur(img, window_size, sigma)
     return _depthwise_blur(img, window_size, sigma)
 
