@@ -98,28 +98,42 @@ def select_records(records: dict[str, Record], ids: Sequence[str]) -> list[Recor
     return out
 
 
-def load_image(path: str, mono: bool = False) -> np.ndarray:
-    """Decode to float32 in [0,1]; HWC for color, HW bool for mono masks
-    (reference `Dataset.load_image`, data.py:124-136 — masks go through
-    PIL's mode '1' binarization)."""
+def decode_u8(path: str, mono: bool = False) -> np.ndarray:
+    """Decode to raw uint8 HWC (0-255); masks through PIL mode-'1'
+    binarization to uint8 HW in {0,1} (reference `Dataset.load_image`,
+    data.py:124-136)."""
     from PIL import Image
 
     img = Image.open(path)
     if mono:
-        return np.asarray(img.convert("1"), dtype=bool)
-    img = img.convert("RGB")
-    return np.asarray(img, dtype=np.float32) / 255.0
+        return np.asarray(img.convert("1"), dtype=np.uint8)
+    return np.asarray(img.convert("RGB"), dtype=np.uint8)
+
+
+def load_image(path: str, mono: bool = False) -> np.ndarray:
+    """Decode to float32 in [0,1]; HWC for color, HW bool for mono masks."""
+    raw = decode_u8(path, mono=mono)
+    if mono:
+        return raw.astype(bool)
+    return raw.astype(np.float32) / 255.0
 
 
 def load_example(rec: Record) -> dict[str, np.ndarray]:
-    """{'input_img': (H,W,3) f32, 'output_img': (H,W,3) f32,
-    'mask': (H,W,1) f32, 'name': str}."""
-    inp = load_image(rec.input_img)
-    out = load_image(rec.output_img)
+    """{'input_img': (H,W,3) u8 0-255, 'output_img': (H,W,3) u8,
+    'mask': (H,W,1) u8 {0,1}, 'name': str}.
+
+    uint8 deliberately: the pipeline keeps images as raw bytes through the
+    RAM cache (4x more images fit), batch stacking, and the host->device
+    transfer (4x fewer bytes over the wire — on the tunneled TPU the fp32
+    H2D was the measured training bottleneck); the jitted step normalizes
+    to [0,1] fp32 on device (`train.steps._normalize_batch`), producing
+    bit-identical values to decode-time division."""
+    inp = decode_u8(rec.input_img)
+    out = decode_u8(rec.output_img)
     if rec.mask is not None:
-        mask = load_image(rec.mask, mono=True).astype(np.float32)[..., None]
+        mask = decode_u8(rec.mask, mono=True)[..., None]
     else:
-        mask = np.ones(inp.shape[:2] + (1,), np.float32)
+        mask = np.ones(inp.shape[:2] + (1,), np.uint8)
     return {
         "input_img": inp,
         "output_img": out,

@@ -107,10 +107,14 @@ class Evaluator:
 
     def evaluate(self, trainstate, epoch: int = 0, save_outputs: bool = False, sharding=None):
         totals: dict[str, float] = {}
-        for batch in pipeline.prefetch(iter(self.loader)):
-            names = batch.pop("name")
-            if sharding is not None:
-                batch = pipeline.shard_batch(batch, sharding)
+        def _device_batches():
+            for batch in iter(self.loader):
+                names = batch.pop("name")
+                if sharding is not None:
+                    batch = pipeline.shard_batch(batch, sharding)
+                yield names, batch
+
+        for names, batch in pipeline.prefetch(_device_batches()):
             stats = self.eval_step(trainstate, batch)
             enhanced = stats.pop("enhanced")
             psnr_i = stats.pop("psnr_per_image")
@@ -274,10 +278,18 @@ class Trainer:
                 pbar = None
             step_losses = []
             with profile_ctx:
-              for batch in pipeline.prefetch(iter(self.train_loader)):
-                batch.pop("name")
-                batch.pop("valid_count")
-                batch = pipeline.shard_batch(batch, self.batch_sharding)
+              def _device_batches():
+                # Host->device transfer happens in the prefetch producer
+                # thread, overlapping the previous step's device time — on
+                # the tunneled platform the per-step H2D is a large, real
+                # cost (uint8 wire format + this overlap are the two
+                # halves of the fix).
+                for batch in iter(self.train_loader):
+                    batch.pop("name")
+                    batch.pop("valid_count")
+                    yield pipeline.shard_batch(batch, self.batch_sharding)
+
+              for batch in pipeline.prefetch(_device_batches()):
                 rng, step_key = jax.random.split(rng)
                 self.state, stats = self.train_step(self.state, batch, step_key)
                 # Keep the loss as a device scalar: fetching it here would

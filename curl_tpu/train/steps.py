@@ -21,6 +21,20 @@ from curl_tpu.data import augment as aug
 from curl_tpu.models import losses, metrics
 
 
+def _normalize_batch(inp, out, mask):
+    """Device-side normalization of the uint8 wire format (see
+    `data.dataset.load_example`): images 0-255 -> [0,1] fp32, mask {0,1} ->
+    fp32. Float inputs pass through untouched, so callers feeding
+    already-normalized arrays (benches, tests) keep working."""
+    if inp.dtype == jnp.uint8:
+        inp = inp.astype(jnp.float32) / 255.0
+    if out.dtype == jnp.uint8:
+        out = out.astype(jnp.float32) / 255.0
+    if mask.dtype == jnp.uint8:
+        mask = mask.astype(jnp.float32)
+    return inp, out, mask
+
+
 def _split_model_output(out):
     """Models return either the enhanced image or (image, regulariser) — the
     curve model carries its slope-smoothness term (reference
@@ -40,7 +54,9 @@ def make_train_step(
 
     @partial(jax.jit, donate_argnums=(0,))
     def train_step(state, batch, key):
-        inp, out, mask = batch["input_img"], batch["output_img"], batch["mask"]
+        inp, out, mask = _normalize_batch(
+            batch["input_img"], batch["output_img"], batch["mask"]
+        )
         if augment:
             inp, out, mask = aug.augment_batch(inp, out, mask, key)
 
@@ -84,7 +100,9 @@ def make_eval_step(ssim_window: int = 11) -> Callable:
 
     @jax.jit
     def eval_step(state, batch):
-        inp, out, mask = batch["input_img"], batch["output_img"], batch["mask"]
+        inp, out, mask = _normalize_batch(
+            batch["input_img"], batch["output_img"], batch["mask"]
+        )
         valid_count = batch["valid_count"]
         b = inp.shape[0]
         valid = (jnp.arange(b) < valid_count).astype(jnp.float32)

@@ -78,9 +78,10 @@ class TestLearnsOnRealPhotos:
         # Identity baseline: enhanced-by-nothing loss on a fixed batch.
         loader.set_epoch(0)
         batch = next(iter(cdata.Loader(records, batch_size=8, crop=(128, 128), train=False)))
-        inp = jnp.asarray(batch["input_img"])
-        tgt = jnp.asarray(batch["output_img"])
-        mask = jnp.asarray(batch["mask"])
+        # Normalize the uint8 wire format as the jitted step would.
+        inp = jnp.asarray(batch["input_img"], jnp.float32) / 255.0
+        tgt = jnp.asarray(batch["output_img"], jnp.float32) / 255.0
+        mask = jnp.asarray(batch["mask"], jnp.float32)
         identity_loss = float(models.curl_loss(inp, tgt, mask))
         out = state.apply_fn(
             {"params": state.params, "batch_stats": state.batch_stats}, inp, mask

@@ -70,9 +70,9 @@ def identity_psnr(root: str, split: str, crop: int) -> float:
     batch = next(iter(loader))
     per = np.asarray(
         metrics.psnr_per_image(
-            jnp.asarray(batch["input_img"]),
-            jnp.asarray(batch["output_img"]),
-            jnp.asarray(batch["mask"]),
+            jnp.asarray(batch["input_img"], jnp.float32) / 255.0,
+            jnp.asarray(batch["output_img"], jnp.float32) / 255.0,
+            jnp.asarray(batch["mask"], jnp.float32),
         )
     )
     return float(per[np.isfinite(per)].mean())
