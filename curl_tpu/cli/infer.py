@@ -25,7 +25,9 @@ from curl_tpu.train import loop as loop_lib
 from curl_tpu.train import state as state_lib
 
 
-def build_enhancer(cfg: Config, checkpoint_dir: str, backbone_size: int = 320) -> Enhancer:
+def build_enhancer(
+    cfg: Config, checkpoint_dir: str, backbone_size: int = 320, out_u8: bool = False
+) -> Enhancer:
     model = loop_lib.build_model(cfg)
     tx = state_lib.make_optimizer(state_lib.onecycle_schedule(1, 1))
     sample = np.zeros((1, backbone_size, backbone_size, 3), np.float32)
@@ -39,6 +41,7 @@ def build_enhancer(cfg: Config, checkpoint_dir: str, backbone_size: int = 320) -
         {"params": state.params, "batch_stats": state.batch_stats},
         backbone_size=backbone_size,
         impl=cfg.residual_impl,
+        out_u8=out_u8,
     )
 
 
@@ -94,10 +97,14 @@ def infer_dir(
     images are decoded on the host, batched at a common resolution, and
     kept `max_in_flight` programs deep on the device, so the dispatch
     round-trip is paid once per window instead of once per image
-    (docs/ROOFLINE.md — the 305 img/s serving path). Images are grouped by
+    (docs/ROOFLINE.md — the 305 img/s serving path). Images ride the wire
+    as raw uint8 both ways (4x fewer tunnel bytes than fp32: inputs are
+    normalized and outputs floor-quantized inside the program —
+    byte-identical files to the fp32 path). Images are grouped by
     resolution; pass `resize_to=(H, W)` to force one group."""
     import os
 
+    from curl_tpu.data.dataset import decode_u8
     from curl_tpu.utils.imageio import save_image_u8
 
     cfg = cfg or Config()
@@ -108,19 +115,19 @@ def infer_dir(
     if not names:
         raise FileNotFoundError(f"no images in {img_dir}")
     os.makedirs(out_dir, exist_ok=True)
-    enh = build_enhancer(cfg, checkpoint_dir, backbone_size)
+    enh = build_enhancer(cfg, checkpoint_dir, backbone_size, out_u8=True)
 
     # Group by target resolution: one compiled program per (batch, H, W).
     groups: dict[tuple[int, int], list[tuple[str, np.ndarray]]] = {}
     for n in names:
-        img = load_image(os.path.join(img_dir, n))
+        img = decode_u8(os.path.join(img_dir, n))
         if resize_to is not None:
             from PIL import Image
 
-            pil = Image.fromarray(
-                np.clip(img * 255.0, 0, 255).astype(np.uint8)
-            ).resize((resize_to[1], resize_to[0]), Image.BILINEAR)
-            img = np.asarray(pil, np.float32) / 255.0
+            pil = Image.fromarray(img).resize(
+                (resize_to[1], resize_to[0]), Image.BILINEAR
+            )
+            img = np.asarray(pil, np.uint8)
         groups.setdefault(img.shape[:2], []).append((n, img))
 
     written: list[str] = []
@@ -150,7 +157,7 @@ def infer_dir(
                     ]
                     * pad
                 )
-                smask = np.ones(small.shape[:3] + (1,), np.float32)
+                smask = np.ones(small.shape[:3] + (1,), np.uint8)
                 yield small, smask, tgt
 
         idx = 0

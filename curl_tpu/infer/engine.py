@@ -33,30 +33,49 @@ class Enhancer:
         variables,
         backbone_size: int = 320,
         impl: str = "xla",
+        out_u8: bool = False,
     ):
         self.model = model
         self.variables = variables
         self.backbone_size = backbone_size
         self.impl = impl
+        self.out_u8 = out_u8
         self._coeff_fn = jax.jit(
             lambda v, img, mask: model.apply(
                 v, img, mask, method=model.generate_coefficients
             )
         )
 
+        def _norm(x, scale: bool):
+            # uint8 wire format for real serving: raw bytes over the
+            # host->device tunnel (4x fewer than fp32), normalized in-program.
+            if x.dtype == jnp.uint8:
+                x = x.astype(jnp.float32)
+                return x / 255.0 if scale else x
+            return x
+
         def _full(v, img_small, mask_small, target):
             # Whole deployment path in ONE program: a single dispatch (and a
             # single tunnel round-trip) per batch instead of one per stage;
             # the pallas path fuses the final composite into the kernel.
+            img_small = _norm(img_small, scale=True)
+            mask_small = _norm(mask_small, scale=False)
+            target = _norm(target, scale=True)
             r, l, h = model.apply(
                 v, img_small, mask_small, method=model.generate_coefficients
             )
-            return enhance.trispace_enhance(
+            out = enhance.trispace_enhance(
                 target, r, l, h,
                 degree=model.polynomial_order,
                 spatial=model.spatial,
                 impl=impl,
             )
+            if out_u8:
+                # Same floor quantization as utils.imageio.save_image_u8 so
+                # device-side u8 is byte-identical to host-side conversion;
+                # the D2H fetch shrinks 4x.
+                out = jnp.clip(out * 255.0, 0.0, 255.0).astype(jnp.uint8)
+            return out
 
         self._full_fn = jax.jit(_full)
 
@@ -230,14 +249,20 @@ class Enhancer:
             residual = self.residual(target, coeffs, tile_rows=tile_rows)
             out = enhance.generate_image(target, residual)
         if white_background and target_mask is not None:
-            m = target_mask.astype(out.dtype)
-            out = out * m + (1.0 - m)
+            if out.dtype == jnp.uint8:
+                m = target_mask.astype(jnp.float32)
+                out = (out * m + (1.0 - m) * 255.0).astype(jnp.uint8)
+            else:
+                m = target_mask.astype(out.dtype)
+                out = out * m + (1.0 - m)
         return out
 
 
 def resize_shorter_side(img: np.ndarray, size: int) -> np.ndarray:
     """PIL bilinear resize of the shorter side to `size`, preserving aspect
-    (torchvision Resize([size]) semantics, reference infer.py:32)."""
+    (torchvision Resize([size]) semantics, reference infer.py:32). Preserves
+    dtype: uint8 in -> uint8 out (the serving wire format), float in ->
+    float32 [0,1] out."""
     from PIL import Image
 
     h, w = img.shape[:2]
@@ -245,11 +270,12 @@ def resize_shorter_side(img: np.ndarray, size: int) -> np.ndarray:
         nh, nw = size, max(1, round(w * size / h))
     else:
         nh, nw = max(1, round(h * size / w)), size
-    arr = np.clip(img * 255.0, 0, 255).astype(np.uint8) if img.dtype != np.uint8 else img
+    was_u8 = img.dtype == np.uint8
+    arr = img if was_u8 else np.clip(img * 255.0, 0, 255).astype(np.uint8)
     mode = "L" if arr.ndim == 2 else None
     out = Image.fromarray(arr.squeeze() if arr.ndim == 3 and arr.shape[2] == 1 else arr, mode)
     out = out.resize((nw, nh), Image.BILINEAR)
-    res = np.asarray(out, np.float32) / 255.0
+    res = np.asarray(out) if was_u8 else np.asarray(out, np.float32) / 255.0
     if img.ndim == 3 and res.ndim == 2:
         res = res[..., None]
     return res

@@ -30,10 +30,13 @@ def hwc_to_chw(img: np.ndarray) -> np.ndarray:
 
 
 def save_image_u8(img01: np.ndarray, path: str) -> None:
-    """Save an (H,W,3) float [0,1] array as an 8-bit image file."""
+    """Save an (H,W,3) float [0,1] — or already-quantized uint8 — array as
+    an 8-bit image file."""
     from PIL import Image
 
-    arr = np.clip(np.asarray(img01) * 255.0, 0, 255).astype(np.uint8)
+    arr = np.asarray(img01)
+    if arr.dtype != np.uint8:
+        arr = np.clip(arr * 255.0, 0, 255).astype(np.uint8)
     Image.fromarray(arr).save(path)
 
 

@@ -83,6 +83,31 @@ class TestEnhancer:
             expect = enhancer.enhance_image(img, mask, target)
             np.testing.assert_allclose(np.asarray(out), np.asarray(expect), atol=1e-6)
 
+    def test_u8_wire_format_matches_f32(self, enhancer, rng):
+        """uint8 in / uint8 out must equal the fp32 path's saved bytes:
+        inputs normalized in-program, output floor-quantized in-program
+        exactly like utils.imageio.save_image_u8."""
+        net, variables = enhancer.model, enhancer.variables
+        u8 = Enhancer(net, variables, backbone_size=32, out_u8=True)
+        img8 = rng.integers(0, 256, (2, 32, 32, 3)).astype(np.uint8)
+        mask8 = np.ones((2, 32, 32, 1), np.uint8)
+        tgt8 = rng.integers(0, 256, (2, 48, 48, 3)).astype(np.uint8)
+        out8 = np.asarray(u8.enhance_image(img8, mask8, tgt8))
+        assert out8.dtype == np.uint8
+        f32 = np.asarray(
+            enhancer.enhance_image(
+                jnp.asarray(img8, jnp.float32) / 255.0,
+                jnp.asarray(mask8, jnp.float32),
+                jnp.asarray(tgt8, jnp.float32) / 255.0,
+            )
+        )
+        expect = np.clip(f32 * 255.0, 0, 255).astype(np.uint8)
+        # Floor quantization can flip a byte where fp32 lands exactly on an
+        # integer boundary; require exactness except a tiny boundary set.
+        diff = (out8.astype(np.int32) - expect.astype(np.int32)) != 0
+        assert diff.mean() < 1e-3, diff.mean()
+        assert np.abs(out8.astype(np.int32) - expect.astype(np.int32)).max() <= 1
+
     def test_enhance_stream_early_abandon(self, enhancer, rng):
         """Breaking out of the stream must not hang or leak the fetcher
         thread (the consumer closes the generator mid-pipeline)."""
