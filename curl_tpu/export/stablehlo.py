@@ -35,7 +35,10 @@ def export_enhancer(
     from jax import export as jexport
 
     def fn(img, mask, target):
-        return model.apply(variables, img, mask, target)
+        out = model.apply(variables, img, mask, target)
+        # Curve models return (image, slope regulariser); deployment
+        # artifacts carry just the image.
+        return out[0] if isinstance(out, tuple) else out
 
     s = backbone_size
     img_t = jax.ShapeDtypeStruct((1, s, s, 3), jnp.float32)

@@ -96,6 +96,31 @@ class TestStableHLO:
             np.testing.assert_allclose(np.asarray(out), np.asarray(direct), atol=1e-5)
 
 
+class TestStableHLOCurveModel:
+    def test_curve_model_exports_and_runs(self, rng, tmp_path):
+        """The knot-curve model exports through the same deployment-artifact
+        path (its (image, regulariser) tuple output is reduced to the
+        image)."""
+        import jax
+
+        from curl_tpu.models import CurlCurveNet
+
+        net = CurlCurveNet(backbone="tiny")
+        img = jnp.zeros((1, 32, 32, 3))
+        mask = jnp.ones((1, 32, 32, 1))
+        variables = net.init(jax.random.PRNGKey(0), img, mask)
+        exported = stablehlo.export_enhancer(
+            net, variables, backbone_size=32, variable_target=False
+        )
+        path = str(tmp_path / "curve.stablehlo")
+        stablehlo.save(exported, path)
+        reloaded = stablehlo.load(path)
+        x = jnp.asarray(rng.uniform(0, 1, (1, 32, 32, 3)).astype(np.float32))
+        out = reloaded.call(x, mask, x)
+        direct, _ = net.apply(variables, x, mask, x)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(direct), atol=1e-5)
+
+
 class TestTFLite:
     def test_export_and_run_outside_jax(self, tiny_variables, rng, tmp_path):
         """The deployment artifact: jax2tf -> TFLite flatbuffer, executed by
