@@ -181,6 +181,10 @@ def main(argv=None) -> None:
                         help="enhance every image in a directory (pipelined)")
     parser.add_argument("--mask_path", default=None)
     parser.add_argument("--checkpoint_dir", required=True, help="Orbax checkpoint directory")
+    parser.add_argument("--model", default=Config.model,
+                        choices=["trispace", "curve", "polyreg"],
+                        help="model family the checkpoint was trained with")
+    parser.add_argument("--backbone", default=Config.backbone)
     parser.add_argument("--out_path", default=None)
     parser.add_argument("--out_dir", default=None)
     parser.add_argument("--backbone_size", type=int, default=320)
@@ -192,6 +196,10 @@ def main(argv=None) -> None:
                         help="resize all --img_dir images to one resolution "
                              "(single compiled program, e.g. 1080x1920)")
     args = parser.parse_args(argv)
+    cfg = Config(model=args.model, backbone=args.backbone)
+    if args.model == "curve" and args.tile_rows is not None:
+        parser.error("--tile_rows applies to the polynomial model only "
+                     "(the curve model applies in one fused pass)")
     if args.img_dir:
         if not args.out_dir:
             parser.error("--img_dir requires --out_dir")
@@ -215,6 +223,7 @@ def main(argv=None) -> None:
             batch_size=args.batch_size,
             resize_to=resize_to,
             max_in_flight=args.max_in_flight,
+            cfg=cfg,
         )
         return
     if not args.img_path or not args.out_path:
@@ -226,6 +235,7 @@ def main(argv=None) -> None:
         args.out_path,
         backbone_size=args.backbone_size,
         tile_rows=args.tile_rows,
+        cfg=cfg,
     )
 
 

@@ -20,12 +20,17 @@ import jax.numpy as jnp
 import numpy as np
 from jax import Array
 
+from curl_tpu.models.curl_curve import CurlCurveNet
 from curl_tpu.models.trispace import TriSpacePolyNet
 from curl_tpu.ops import enhance
 
 
 class Enhancer:
-    """Wraps a trained TriSpacePolyNet for deployment-style inference."""
+    """Wraps a trained TriSpacePolyNet — or CurlCurveNet — for
+    deployment-style inference. Both share the predict-on-low-res /
+    apply-on-full-res contract; the coefficient/tiled-band helpers are
+    polynomial-model-only (the curve model's whole apply is one fused
+    pass)."""
 
     def __init__(
         self,
@@ -54,6 +59,8 @@ class Enhancer:
                 return x / 255.0 if scale else x
             return x
 
+        is_curve = isinstance(model, CurlCurveNet)
+
         def _full(v, img_small, mask_small, target):
             # Whole deployment path in ONE program: a single dispatch (and a
             # single tunnel round-trip) per batch instead of one per stage;
@@ -61,15 +68,18 @@ class Enhancer:
             img_small = _norm(img_small, scale=True)
             mask_small = _norm(mask_small, scale=False)
             target = _norm(target, scale=True)
-            r, l, h = model.apply(
-                v, img_small, mask_small, method=model.generate_coefficients
-            )
-            out = enhance.trispace_enhance(
-                target, r, l, h,
-                degree=model.polynomial_order,
-                spatial=model.spatial,
-                impl=impl,
-            )
+            if is_curve:
+                out, _ = model.apply(v, img_small, mask_small, target)
+            else:
+                r, l, h = model.apply(
+                    v, img_small, mask_small, method=model.generate_coefficients
+                )
+                out = enhance.trispace_enhance(
+                    target, r, l, h,
+                    degree=model.polynomial_order,
+                    spatial=model.spatial,
+                    impl=impl,
+                )
             if out_u8:
                 # Same floor quantization as utils.imageio.save_image_u8 so
                 # device-side u8 is byte-identical to host-side conversion;
@@ -101,7 +111,13 @@ class Enhancer:
         )
 
     def coefficients(self, img_small: Array, mask_small: Array):
-        """(B, s, s, 3), (B, s, s, 1) -> (R, L, H) each (B, 3, N)."""
+        """(B, s, s, 3), (B, s, s, 1) -> (R, L, H) each (B, 3, N).
+        Polynomial models only."""
+        if isinstance(self.model, CurlCurveNet):
+            raise NotImplementedError(
+                "coefficients()/residual()/tile_rows are polynomial-model "
+                "helpers; the curve model applies in one fused pass"
+            )
         return self._coeff_fn(self.variables, img_small, mask_small)
 
     def residual(

@@ -108,6 +108,33 @@ class TestEnhancer:
         assert diff.mean() < 1e-3, diff.mean()
         assert np.abs(out8.astype(np.int32) - expect.astype(np.int32)).max() <= 1
 
+    def test_curve_model_enhancer(self, rng):
+        """CurlCurveNet serves through the same Enhancer (predict@small,
+        apply@target, streaming, u8 wire); polynomial-only helpers raise."""
+        from curl_tpu.models import CurlCurveNet
+
+        net = CurlCurveNet(backbone="tiny")
+        img = jnp.zeros((1, 32, 32, 3))
+        mask = jnp.ones((1, 32, 32, 1))
+        variables = net.init(jax.random.PRNGKey(0), img, mask)
+        enh = Enhancer(net, variables, backbone_size=32)
+
+        small = jnp.asarray(rng.uniform(0, 1, (2, 32, 32, 3)).astype(np.float32))
+        smask = jnp.ones((2, 32, 32, 1), jnp.float32)
+        target = jnp.asarray(rng.uniform(0, 1, (2, 48, 48, 3)).astype(np.float32))
+        out = enh.enhance_image(small, smask, target)
+        direct, _ = net.apply(variables, small, smask, target)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(direct), atol=1e-6)
+
+        # 5e-6: the serve function closes the variables over, and the jit
+        # constant-folds the knot path slightly differently; the 10-curve
+        # chain amplifies the last-ulp difference.
+        streamed = list(enh.enhance_stream(iter([(small, smask, target)])))
+        np.testing.assert_allclose(np.asarray(streamed[0]), np.asarray(direct), atol=5e-6)
+
+        with pytest.raises(NotImplementedError):
+            enh.coefficients(small, smask)
+
     def test_enhance_stream_early_abandon(self, enhancer, rng):
         """Breaking out of the stream must not hang or leak the fetcher
         thread (the consumer closes the generator mid-pipeline)."""
