@@ -108,6 +108,23 @@ class TestEnhancer:
         assert diff.mean() < 1e-3, diff.mean()
         assert np.abs(out8.astype(np.int32) - expect.astype(np.int32)).max() <= 1
 
+    def test_u8_white_matte(self, enhancer, rng):
+        """White-background matte on the u8 path: masked-out pixels become
+        exactly 255."""
+        net, variables = enhancer.model, enhancer.variables
+        u8 = Enhancer(net, variables, backbone_size=32, out_u8=True)
+        img8 = rng.integers(0, 256, (1, 32, 32, 3)).astype(np.uint8)
+        mask8 = np.ones((1, 32, 32, 1), np.uint8)
+        tgt8 = rng.integers(0, 256, (1, 48, 48, 3)).astype(np.uint8)
+        tmask = np.zeros((1, 48, 48, 1), np.uint8)
+        tmask[:, :24] = 1
+        out = np.asarray(
+            u8.enhance_image(img8, mask8, tgt8, jnp.asarray(tmask), white_background=True)
+        )
+        assert out.dtype == np.uint8
+        assert (out[:, 24:] == 255).all()
+        assert not (out[:, :24] == 255).all()
+
     def test_curve_model_enhancer(self, rng):
         """CurlCurveNet serves through the same Enhancer (predict@small,
         apply@target, streaming, u8 wire); polynomial-only helpers raise."""
