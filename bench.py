@@ -38,12 +38,17 @@ def _wait_for_device(max_wait_s: float = 720.0) -> bool:
 
     deadline = time.time() + max_wait_s
     while time.time() < deadline:
-        probe = subprocess.run(
-            [sys.executable, "-c",
-             "import jax, jax.numpy as jnp; print(float(jnp.sum(jnp.ones((8,8)))))"],
-            capture_output=True, timeout=90, text=True,
-        )
-        if probe.returncode == 0 and "64.0" in probe.stdout:
+        try:
+            probe = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax, jax.numpy as jnp; print(float(jnp.sum(jnp.ones((8,8)))))"],
+                capture_output=True, timeout=90, text=True,
+            )
+        except subprocess.TimeoutExpired:
+            # Relay-outage mode: backend init HANGS instead of failing
+            # (CLAUDE.md); treat like a failed probe and keep waiting.
+            probe = None
+        if probe is not None and probe.returncode == 0 and "64.0" in probe.stdout:
             return True
         time.sleep(45)
     return False
@@ -124,11 +129,14 @@ def measure_jax_resilient(
             "max_in_flight={mif}))"
         ).format(here=_HERE, b=attempt_batch, i=attempt_iters, d=dtype, m=impl,
                  p=pipelined, mif=max_in_flight)
-        proc = subprocess.run(
-            [sys.executable, "-c", code], capture_output=True, text=True,
-            timeout=3000, cwd=_HERE,
-        )
-        for line in proc.stdout.splitlines():
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-c", code], capture_output=True, text=True,
+                timeout=3000, cwd=_HERE,
+            )
+        except subprocess.TimeoutExpired:
+            proc = None  # hung worker/relay: fall through to the retry path
+        for line in (proc.stdout.splitlines() if proc else ()):
             if line.startswith("RESULT "):
                 return float(line.split()[1])
         sys.stderr.write(
