@@ -174,6 +174,19 @@ def main() -> None:
     ident = identity_psnr(args.data_dir, "test", args.crop)
     steps = args.epochs  # one step per epoch at batch 8 over 8 train images
 
+    # Steady-state loop rate: the Trainer logs per-epoch img/s (incl. host
+    # feed + H2D + device step, excl. compile/eval/checkpoint); the median
+    # is the honest sustained number, where wall_s amortizes one-time costs.
+    steady = None
+    try:
+        with open(os.path.join(args.log_dir, "curl.log")) as f:
+            rates = [float(m) for m in re.findall(r"\(([0-9.]+) img/s", f.read())]
+        if rates:
+            rates.sort()
+            steady = rates[len(rates) // 2]
+    except OSError:
+        pass
+
     payload = {
         "model": args.model,
         "backbone": args.backbone,
@@ -184,6 +197,7 @@ def main() -> None:
         "cache_mb": args.cache_mb,
         "train_wall_s": round(wall, 1),
         "train_images_per_sec": round(steps * args.batch_size / wall, 3),
+        "steady_images_per_sec": steady,
         "loss_first": losses[0] if losses else None,
         "loss_last": losses[-1] if losses else None,
         "loss_curve_sampled": losses[:: max(1, len(losses) // 20)] if losses else [],
