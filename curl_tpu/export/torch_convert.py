@@ -262,6 +262,20 @@ def init_with_pretrained_backbone(model, rng, sample_img, sample_mask, timm_stat
     variables = model.init(rng, sample_img, sample_mask)
     variables = flax.core.unfreeze(variables) if hasattr(variables, "unfreeze") else dict(variables)
 
+    # The converter emits the flagship's subtree name ('backbone_net');
+    # CurlCurveNet/PolyRegNet name theirs 'backbone'. Re-key to whatever
+    # subtree this model actually has.
+    model_bb = next(
+        (n for n in ("backbone_net", "backbone") if n in variables["params"]), None
+    )
+    if model_bb is None:
+        raise ValueError(
+            f"model has no backbone subtree; params keys: {sorted(variables['params'])[:8]}"
+        )
+    converted = {
+        col: {model_bb: tree["backbone_net"]} for col, tree in converted.items()
+    }
+
     def graft(dst: dict, src: dict, col: str) -> None:
         flat_dst = flax.traverse_util.flatten_dict(dst, sep="/")
         flat_src = flax.traverse_util.flatten_dict(src, sep="/")

@@ -146,6 +146,23 @@ class TestPretrainedInit:
         out = model.apply(variables, img, mask)
         assert out.shape == img.shape and bool(np.isfinite(np.asarray(out)).all())
 
+    def test_graft_curve_model(self):
+        """The curve model's backbone subtree is named 'backbone' (not the
+        flagship's 'backbone_net'); the graft re-keys accordingly."""
+        from curl_tpu.models import CurlCurveNet
+
+        model = CurlCurveNet(backbone="tiny")
+        sd = _synthetic_sd(tc.timm_key_shapes(bb.TINY), seed=4)
+        img = np.random.default_rng(0).uniform(0, 1, (1, 32, 32, 3)).astype(np.float32)
+        mask = np.ones((1, 32, 32, 1), np.float32)
+        variables = tc.init_with_pretrained_backbone(
+            model, jax.random.PRNGKey(0), img, mask, sd
+        )
+        got = np.asarray(variables["params"]["backbone"]["stem_conv"]["kernel"])
+        np.testing.assert_array_equal(got, sd["conv_stem.weight"].transpose(2, 3, 1, 0))
+        out, _ = model.apply(variables, img, mask)
+        assert bool(np.isfinite(np.asarray(out)).all())
+
     def test_convert_cli_pretrained_mode(self, tmp_path):
         """--pretrained_backbone writes a restorable full train-state
         checkpoint from a raw timm .pt (tiny config via monkeypatched
