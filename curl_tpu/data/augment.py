@@ -36,7 +36,10 @@ def rotate_nearest(stack: Array, angle: Array) -> Array:
     ix = jnp.clip(ix, 0, w - 1)
     iy = jnp.clip(iy, 0, h - 1)
     gathered = stack[iy, ix]  # (H, W, C)
-    return jnp.where(inside[..., None], gathered, 0.0)
+    # dtype-preserving zero fill: augmentation may run on the raw uint8
+    # wire format (a permutation of bytes — identical values to fp32
+    # augment-then-normalize, at 1/4 the gather traffic).
+    return jnp.where(inside[..., None], gathered, jnp.zeros((), stack.dtype))
 
 
 def _augment_one(stack: Array, key: Array) -> Array:

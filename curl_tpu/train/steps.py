@@ -54,11 +54,13 @@ def make_train_step(
 
     @partial(jax.jit, donate_argnums=(0,))
     def train_step(state, batch, key):
-        inp, out, mask = _normalize_batch(
-            batch["input_img"], batch["output_img"], batch["mask"]
-        )
+        # Augment BEFORE normalizing: on the uint8 wire format the flip/
+        # rotate gathers then move 1/4 the bytes, and nearest resampling is
+        # a pure permutation — identical values either order.
+        inp, out, mask = batch["input_img"], batch["output_img"], batch["mask"]
         if augment:
             inp, out, mask = aug.augment_batch(inp, out, mask, key)
+        inp, out, mask = _normalize_batch(inp, out, mask)
 
         def loss_fn(params):
             model_out, updates = state.apply_fn(

@@ -112,6 +112,30 @@ class TestAugment:
         assert out[0, 0, 0] == 0.0 and out[-1, -1, 0] == 0.0
         assert out[16, 16, 0] == 1.0
 
+    def test_u8_augment_matches_f32(self, rng):
+        """Augmenting the raw uint8 wire format then normalizing equals
+        normalizing then augmenting — nearest resampling is a permutation."""
+        b, s = 2, 24
+        inp8 = rng.integers(0, 256, (b, s, s, 3)).astype(np.uint8)
+        mask8 = (rng.uniform(size=(b, s, s, 1)) < 0.9).astype(np.uint8)
+        key = jax.random.PRNGKey(7)
+        a8, b8, m8 = cdata.augment_batch(
+            jnp.asarray(inp8), jnp.asarray(inp8), jnp.asarray(mask8), key
+        )
+        af, bf, mf = cdata.augment_batch(
+            jnp.asarray(inp8, jnp.float32) / 255.0,
+            jnp.asarray(inp8, jnp.float32) / 255.0,
+            jnp.asarray(mask8, jnp.float32),
+            key,
+        )
+        assert a8.dtype == jnp.uint8
+        np.testing.assert_allclose(
+            np.asarray(a8, np.float32) / 255.0, np.asarray(af), atol=1e-7
+        )
+        np.testing.assert_array_equal(
+            np.asarray(m8).astype(np.float32), np.asarray(mf)
+        )
+
     def test_distinct_keys_give_distinct_augs(self, rng):
         inp = jnp.asarray(rng.uniform(0, 1, (1, 32, 32, 3)).astype(np.float32))
         mask = jnp.ones((1, 32, 32, 1), jnp.float32)
