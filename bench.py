@@ -149,6 +149,52 @@ def measure_jax_resilient(
     raise RuntimeError("benchmark failed at every batch size")
 
 
+def measure_ingest(
+    batch: int, iters: int, wire: str = "uint8", max_in_flight: int = 6,
+    impl: str = "pallas",
+) -> float:
+    """Real-serving throughput INCLUDING the host wire both ways: numpy
+    batches are handed to the stream (host->device transfer per batch) and
+    every output is fetched to numpy (device->host per batch) — the
+    `cli/infer --img_dir` path minus PIL. `wire` picks the format: "uint8"
+    (the production format: normalized in-program, floor-quantized outputs)
+    or "float32" (4x the tunnel bytes each way)."""
+    import jax
+
+    from curl_tpu.infer.engine import Enhancer
+    from curl_tpu.models import TriSpacePolyNet
+
+    net = TriSpacePolyNet(backbone="efficientnetv2_rw_t", residual_impl=impl)
+    rng = np.random.default_rng(0)
+    if wire == "uint8":
+        small = rng.integers(0, 256, (batch, PREDICT, PREDICT, 3)).astype(np.uint8)
+        smask = np.ones((batch, PREDICT, PREDICT, 1), np.uint8)
+        target = rng.integers(0, 256, (batch, H, W, 3)).astype(np.uint8)
+    else:
+        small = rng.uniform(0, 1, (batch, PREDICT, PREDICT, 3)).astype(np.float32)
+        smask = np.ones((batch, PREDICT, PREDICT, 1), np.float32)
+        target = rng.uniform(0, 1, (batch, H, W, 3)).astype(np.float32)
+    variables = net.init(
+        jax.random.PRNGKey(0),
+        small[:1].astype(np.float32), smask[:1].astype(np.float32),
+    )
+    enh = Enhancer(
+        net, variables, backbone_size=PREDICT, impl=impl, out_u8=wire == "uint8"
+    )
+
+    def feed(n):
+        for _ in range(n):
+            yield small, smask, target
+
+    for out in enh.enhance_stream(feed(1)):
+        np.asarray(out)  # compile + warm
+    t0 = time.perf_counter()
+    n = 0
+    for out in enh.enhance_stream(feed(iters), max_in_flight=max_in_flight):
+        n += np.asarray(out).shape[0]  # D2H included
+    return n / (time.perf_counter() - t0)
+
+
 def measure_train(
     batch: int,
     iters: int,
@@ -275,6 +321,11 @@ def main() -> None:
     ap.add_argument("--compute_dtype", default="float32",
                     help="backbone compute dtype for --train")
     ap.add_argument(
+        "--ingest", choices=["uint8", "float32"], default=None,
+        help="measure REAL serving ingest (numpy in/out each batch, full "
+             "wire both ways) with the given wire format",
+    )
+    ap.add_argument(
         "--latency",
         action="store_true",
         help="sync every batch (per-request latency) instead of pipelined throughput",
@@ -298,6 +349,23 @@ def main() -> None:
         with open(_BASELINE_FILE, "w") as f:
             json.dump(payload, f, indent=1)
         print(json.dumps(payload))
+        return
+
+    if args.ingest:
+        ips = measure_ingest(
+            args.batch, args.iters, wire=args.ingest,
+            max_in_flight=args.max_in_flight, impl=args.impl,
+        )
+        print(
+            json.dumps(
+                {
+                    "metric": f"1080p_ingest_images_per_sec_{args.ingest}",
+                    "value": round(ips, 3),
+                    "unit": "images/sec",
+                    "vs_baseline": None,
+                }
+            )
+        )
         return
 
     if args.train:
