@@ -24,6 +24,7 @@ def export(
     checkpoint_dir: str,
     out_path: str,
     fmt: str = "tflite",
+    model_name: str = "trispace",
     backbone: str = "efficientnetv2_rw_t",
     backbone_size: int = 320,
     target_h: int = 1000,
@@ -39,7 +40,7 @@ def export(
     from curl_tpu.train import loop as loop_lib
     from curl_tpu.train import state as state_lib
 
-    cfg = Config(backbone=backbone)
+    cfg = Config(model=model_name, backbone=backbone)
     model = loop_lib.build_model(cfg)
     tx = state_lib.make_optimizer(state_lib.onecycle_schedule(1, 1))
     s = backbone_size
@@ -67,7 +68,8 @@ def export(
         img = rng.uniform(0, 1, (1, s, s, 3)).astype(np.float32)
         mask = np.ones((1, s, s, 1), np.float32)
         target = rng.uniform(0, 1, (1, target_h, target_w, 3)).astype(np.float32)
-        direct = np.asarray(model.apply(variables, img, mask, target))
+        direct = model.apply(variables, img, mask, target)
+        direct = np.asarray(direct[0] if isinstance(direct, tuple) else direct)
         if fmt == "tflite":
             got = tflite_lib.run_tflite(out_path, img, mask, target)
         else:
@@ -84,6 +86,7 @@ def main(argv=None) -> None:
     ap.add_argument("--checkpoint_dir", required=True, help="orbax checkpoint directory")
     ap.add_argument("--out_path", required=True)
     ap.add_argument("--format", default="tflite", choices=["tflite", "stablehlo"])
+    ap.add_argument("--model", default="trispace", choices=["trispace", "curve"])
     ap.add_argument("--backbone", default="efficientnetv2_rw_t")
     ap.add_argument("--backbone_size", type=int, default=320)
     ap.add_argument("--target_h", type=int, default=1000)
@@ -94,6 +97,7 @@ def main(argv=None) -> None:
         args.checkpoint_dir,
         args.out_path,
         fmt=args.format,
+        model_name=args.model,
         backbone=args.backbone,
         backbone_size=args.backbone_size,
         target_h=args.target_h,

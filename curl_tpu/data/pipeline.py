@@ -85,18 +85,40 @@ class Loader:
         self._cache_limit = cache_mb * 1024 * 1024
         self._cache_bytes = 0
         self._cache_lock = threading.Lock()
+        self.cache_hits = 0
+        self.cache_misses = 0
+
+    def cache_stats(self) -> dict[str, int]:
+        """Decoded-image cache observability: hits/misses/resident bytes."""
+        with self._cache_lock:
+            return {
+                "hits": self.cache_hits,
+                "misses": self.cache_misses,
+                "entries": len(self._cache or ()),
+                "bytes": self._cache_bytes,
+            }
 
     def _load_record(self, global_idx: int) -> dict[str, np.ndarray]:
         if self._cache is None:
             return ds.load_example(self.records[global_idx])
         with self._cache_lock:
             hit = self._cache.get(global_idx)
+            if hit is not None:
+                self.cache_hits += 1
+            else:
+                self.cache_misses += 1
         if hit is not None:
             return hit
         ex = ds.load_example(self.records[global_idx])
         size = sum(v.nbytes for v in ex.values() if isinstance(v, np.ndarray))
         with self._cache_lock:
-            if self._cache_bytes + size <= self._cache_limit:
+            # Duplicate indices in one wrapped eval batch can race here: both
+            # threads decode, but only the first may account the bytes, or the
+            # budget shrinks by double-counting the same key.
+            if (
+                global_idx not in self._cache
+                and self._cache_bytes + size <= self._cache_limit
+            ):
                 self._cache[global_idx] = ex
                 self._cache_bytes += size
         return ex

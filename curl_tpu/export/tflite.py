@@ -37,7 +37,10 @@ def export_tflite(
     from jax.experimental import jax2tf
 
     def fn(img, mask, target):
-        return model.apply(variables, img, mask, target)
+        out = model.apply(variables, img, mask, target)
+        # CurlCurveNet returns (image, slope regulariser); the deployment
+        # artifact ships only the image (same unwrap as stablehlo.py).
+        return out[0] if isinstance(out, tuple) else out
 
     s = backbone_size
     th, tw = target_hw

@@ -24,6 +24,24 @@ from curl_tpu.models.curl_curve import CurlCurveNet
 from curl_tpu.models.trispace import TriSpacePolyNet
 from curl_tpu.ops import enhance
 
+# Whole-image apply programs above this many pixels PER IMAGE automatically
+# stream in row bands. Calibrated on the v5e (docs/ROOFLINE.md): a whole
+# 8K image (33.2 Mpx) OOMs HBM (15.82 G of 15.75 G), while 4K (8.3 Mpx)
+# and batch-32 1080p programs are stable — so the bound is per-image, not
+# per-batch, and 16.8 Mpx sits safely between the known-good 8.3 Mpx and
+# the known-bad 33.2 Mpx. Bands target HALF the bound for 2x headroom
+# (8K -> 1088-row bands, matching the hardware-verified tile_rows=1080 run).
+AUTO_TILE_PIXELS = 16_777_216
+
+
+def auto_tile_rows(height: int, width: int, budget_px: int = AUTO_TILE_PIXELS):
+    """None if a whole-image program fits the HBM heuristic, else a row-band
+    height (multiple of 32 sublanes, min 32) targeting budget_px/2 pixels."""
+    if height * width <= budget_px:
+        return None
+    rows = max(32, (budget_px // 2 // max(1, width)) // 32 * 32)
+    return min(rows, height)
+
 
 class Enhancer:
     """Wraps a trained TriSpacePolyNet — or CurlCurveNet — for
@@ -41,10 +59,16 @@ class Enhancer:
         out_u8: bool = False,
     ):
         self.model = model
-        self.variables = variables
+        # Read-only (property below): _serve_fn closes over the variables at
+        # construction, so reassigning them later would silently serve stale
+        # weights through enhance_stream. Build a new Enhancer per checkpoint.
+        self._variables = variables
         self.backbone_size = backbone_size
         self.impl = impl
         self.out_u8 = out_u8
+        # Per-image pixel bound above which enhance_image auto-streams row
+        # bands (polynomial models; see auto_tile_rows). Overridable.
+        self.auto_tile_pixels = AUTO_TILE_PIXELS
         self._coeff_fn = jax.jit(
             lambda v, img, mask: model.apply(
                 v, img, mask, method=model.generate_coefficients
@@ -109,6 +133,11 @@ class Enhancer:
                 variables, img_small, mask_small, target
             )
         )
+
+    @property
+    def variables(self):
+        """The model variables (immutable: serving programs close over them)."""
+        return self._variables
 
     def coefficients(self, img_small: Array, mask_small: Array):
         """(B, s, s, 3), (B, s, s, 1) -> (R, L, H) each (B, 3, N).
@@ -197,7 +226,14 @@ class Enhancer:
                 try:
                     np.asarray(pend[-1][1])  # completes the whole group
                 except Exception as e:  # surface device errors to consumer
+                    # Fail-fast: a device error DISCARDS the whole in-flight
+                    # group (its outputs may be poisoned); release the slots
+                    # so the producer can't deadlock before seeing the error.
                     results.put(("error", e))
+                    for _ in pend:
+                        slots.release()
+                    pend.clear()
+                    return
                 for o, _ in pend:
                     results.put(("ok", o))
                     slots.release()
@@ -257,13 +293,38 @@ class Enhancer:
     ) -> Array:
         """Full deployment path: coefficients from the small view, residual
         at target resolution, clamped composite; optional white-background
-        matte like the mobile app (reference infer.py:44-47)."""
+        matte like the mobile app (reference infer.py:44-47).
+
+        `tile_rows=None` auto-selects: whole-image program when it fits the
+        HBM heuristic, row bands otherwise (8K works with no flags —
+        VERDICT r3 item 9). Pass an explicit value to force a band height.
+        """
+        if tile_rows is None and not isinstance(self.model, CurlCurveNet):
+            tile_rows = auto_tile_rows(
+                target.shape[1], target.shape[2], self.auto_tile_pixels
+            )
+            if tile_rows is not None and tile_rows >= target.shape[1]:
+                tile_rows = None
         if tile_rows is None:
             out = self._full_fn(self.variables, img_small, mask_small, target)
         else:
+            # The banded path runs in float (the fused u8 wire belongs to the
+            # whole-image serving program); normalize u8 inputs here and
+            # re-quantize at the end so both paths honor the same contract.
+            def _to_f32(x, scale):
+                if x.dtype == jnp.uint8:
+                    x = x.astype(jnp.float32)
+                    return x / 255.0 if scale else x
+                return x
+
+            img_small = _to_f32(img_small, True)
+            mask_small = _to_f32(mask_small, False)
+            target = _to_f32(target, True)
             coeffs = self.coefficients(img_small, mask_small)
             residual = self.residual(target, coeffs, tile_rows=tile_rows)
             out = enhance.generate_image(target, residual)
+            if self.out_u8:
+                out = jnp.clip(out * 255.0, 0.0, 255.0).astype(jnp.uint8)
         if white_background and target_mask is not None:
             if out.dtype == jnp.uint8:
                 m = target_mask.astype(jnp.float32)

@@ -21,53 +21,59 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import Array
+
+# Constant matrices are NUMPY (not jnp): jax ops accept them and XLA
+# constant-folds identically, while module-level jnp.array would initialize
+# the XLA backend at import — breaking jax.distributed.initialize on
+# multi-host (it must run before any backend init).
 
 # Row-stochastic-ish sRGB (D65) primaries. Rows = R,G,B; cols = X,Y,Z.
 # Same constants as reference colors.py:8-13.
-_RGB_TO_XYZ = jnp.array(
+_RGB_TO_XYZ = np.array(
     [
         [0.412453, 0.212671, 0.019334],
         [0.357580, 0.715160, 0.119193],
         [0.180423, 0.072169, 0.950227],
     ],
-    dtype=jnp.float32,
+    dtype=np.float32,
 )
 
 # Rows = fx,fy,fz; cols = L,a,b. Reference colors.py:16-21.
-_FXFYFZ_TO_LAB = jnp.array(
+_FXFYFZ_TO_LAB = np.array(
     [
         [0.0, 500.0, 0.0],
         [116.0, -500.0, 200.0],
         [0.0, 0.0, -200.0],
     ],
-    dtype=jnp.float32,
+    dtype=np.float32,
 )
 
 # Rows = X,Y,Z; cols = R,G,B. Reference colors.py:69-74.
-_XYZ_TO_RGB = jnp.array(
+_XYZ_TO_RGB = np.array(
     [
         [3.2404542, -0.9692660, 0.0556434],
         [-1.5371385, 1.8760108, -0.2040259],
         [-0.4985314, 0.0415560, 1.0572252],
     ],
-    dtype=jnp.float32,
+    dtype=np.float32,
 )
 
 # Rows = L+16,a,b; cols = fx,fy,fz. Reference colors.py:77-82.
-_LAB_TO_FXFYFZ = jnp.array(
+_LAB_TO_FXFYFZ = np.array(
     [
         [1.0 / 116.0, 1.0 / 116.0, 1.0 / 116.0],
         [1.0 / 500.0, 0.0, 0.0],
         [0.0, 0.0, -1.0 / 200.0],
     ],
-    dtype=jnp.float32,
+    dtype=np.float32,
 )
 
 # D65 white point. Reference colors.py:24.
-_WHITE_POINT = jnp.array([0.950456, 1.0, 1.088754], dtype=jnp.float32)
+_WHITE_POINT = np.array([0.950456, 1.0, 1.088754], dtype=np.float32)
 
-_LAB_OFFSET = jnp.array([16.0, 0.0, 0.0], dtype=jnp.float32)
+_LAB_OFFSET = np.array([16.0, 0.0, 0.0], dtype=np.float32)
 
 _EPS_CBRT = 6.0 / 29.0
 

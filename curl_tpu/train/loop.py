@@ -106,7 +106,12 @@ class Evaluator:
         self.eval_step = steps_lib.make_eval_step(cfg.ssim_window_size)
 
     def evaluate(self, trainstate, epoch: int = 0, save_outputs: bool = False, sharding=None):
-        totals: dict[str, float] = {}
+        # Device-side accumulation: each batch's scalars are ADDED on device
+        # (async dispatch, no round-trip) and fetched ONCE at the end — the
+        # same one-sync discipline as the training loop. The old per-batch
+        # float(v) paid one ~25 ms tunnel round-trip per eval batch
+        # (reference contrast: evaluate.py:122-131 gathers per batch too).
+        totals: dict[str, object] = {}
         def _device_batches():
             for batch in iter(self.loader):
                 names = batch.pop("name")
@@ -120,7 +125,7 @@ class Evaluator:
             psnr_i = stats.pop("psnr_per_image")
             msssim_i = stats.pop("msssim_per_image")
             for k, v in stats.items():
-                totals[k] = totals.get(k, 0.0) + float(v)
+                totals[k] = v if k not in totals else totals[k] + v
             if save_outputs and jax.process_index() == 0:
                 if hasattr(enhanced, "is_fully_addressable") and not enhanced.is_fully_addressable:
                     log.warning("skipping image dump: output not fully addressable on this host")

@@ -16,6 +16,7 @@ from typing import Callable
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from curl_tpu.data import augment as aug
 from curl_tpu.models import losses, metrics
@@ -139,7 +140,13 @@ def make_eval_step(ssim_window: int = 11) -> Callable:
 
 
 def summarize_eval(totals: dict[str, float]) -> dict[str, float]:
-    """Batch-accumulated sums -> mean metrics."""
+    """Batch-accumulated sums -> mean metrics. Accepts host floats or
+    device scalars (the Evaluator accumulates on device); all values are
+    fetched in ONE stacked host transfer — the only sync of an eval pass."""
+    keys = sorted(totals)
+    if keys and any(hasattr(totals[k], "device") for k in keys):
+        fetched = np.asarray(jnp.stack([totals[k].astype(jnp.float32) for k in keys]))
+        totals = {k: float(v) for k, v in zip(keys, fetched)}
     n = max(totals.get("count", 0.0), 1e-9)
     np_ = max(totals.get("psnr_count", 0.0), 1e-9)
     return {

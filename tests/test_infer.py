@@ -179,3 +179,72 @@ class TestEnhancer:
         batches = [(img, mask, target), (img, mask, target[0]), (img, mask, target)]
         with pytest.raises(Exception):
             list(enhancer.enhance_stream(iter(batches), max_in_flight=2))
+
+
+class TestAutoTile:
+    """Auto row-banding above the per-image HBM heuristic (VERDICT r3
+    item 9): 8K single-image infer needs no flags; simulated here with a
+    small bound so CPU tests stay cheap."""
+
+    def test_auto_tile_rows_selection(self):
+        from curl_tpu.infer.engine import AUTO_TILE_PIXELS, auto_tile_rows
+
+        # Known-good whole-image sizes never tile at the default bound.
+        assert auto_tile_rows(1080, 1920) is None            # 1080p
+        assert auto_tile_rows(2160, 3840) is None            # 4K
+        # 8K tiles, in sublane multiples, near the hardware-verified 1080.
+        rows = auto_tile_rows(4320, 7680)
+        assert rows is not None and rows % 32 == 0
+        assert 512 <= rows <= 2176
+        assert rows * 7680 <= AUTO_TILE_PIXELS
+        # Tiny budget still yields a valid band.
+        assert auto_tile_rows(100, 1 << 20, budget_px=1024) == 32
+
+    def test_auto_tiled_matches_whole_image(self, enhancer, rng):
+        img = jnp.asarray(rng.uniform(0, 1, (1, 32, 32, 3)).astype(np.float32))
+        mask = jnp.ones((1, 32, 32, 1), jnp.float32)
+        target = jnp.asarray(rng.uniform(0, 1, (1, 96, 64, 3)).astype(np.float32))
+        whole = np.asarray(enhancer.enhance_image(img, mask, target))
+        try:
+            enhancer.auto_tile_pixels = 64 * 64  # force banding at 96x64
+            called = {}
+            orig = type(enhancer).residual
+
+            def spy(self, *a, **kw):
+                called["tile_rows"] = kw.get("tile_rows")
+                return orig(self, *a, **kw)
+
+            type(enhancer).residual = spy
+            try:
+                tiled = np.asarray(enhancer.enhance_image(img, mask, target))
+            finally:
+                type(enhancer).residual = orig
+        finally:
+            from curl_tpu.infer.engine import AUTO_TILE_PIXELS
+
+            enhancer.auto_tile_pixels = AUTO_TILE_PIXELS
+        assert called.get("tile_rows") == 32, "auto path must band the apply"
+        np.testing.assert_allclose(tiled, whole, atol=2e-6)
+
+    def test_auto_tiled_u8_wire(self, rng):
+        """u8 in / u8 out through the banded path must match the fused
+        whole-image u8 program byte-for-byte."""
+        net = TriSpacePolyNet(backbone="tiny")
+        img = jnp.zeros((1, 32, 32, 3))
+        mask = jnp.ones((1, 32, 32, 1))
+        variables = net.init(jax.random.PRNGKey(0), img, mask)
+        enh = Enhancer(net, variables, backbone_size=32, out_u8=True)
+        img_u8 = jnp.asarray(rng.integers(0, 256, (1, 32, 32, 3)).astype(np.uint8))
+        mask_u8 = jnp.ones((1, 32, 32, 1), jnp.uint8)
+        tgt_u8 = jnp.asarray(rng.integers(0, 256, (1, 96, 64, 3)).astype(np.uint8))
+        whole = np.asarray(enh.enhance_image(img_u8, mask_u8, tgt_u8))
+        assert whole.dtype == np.uint8
+        enh.auto_tile_pixels = 64 * 64
+        banded = np.asarray(enh.enhance_image(img_u8, mask_u8, tgt_u8))
+        assert banded.dtype == np.uint8
+        # Floor quantization can flip a byte where the float paths differ by
+        # ~1e-6 across a quantization boundary; require byte-identical except
+        # a vanishing fraction off by one.
+        diff = np.abs(whole.astype(np.int32) - banded.astype(np.int32))
+        assert diff.max() <= 1
+        assert (diff > 0).mean() < 1e-3
