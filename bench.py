@@ -288,6 +288,54 @@ def measure_train(
     return batch * iters / dt
 
 
+def measure_eval(
+    batch: int, iters: int, crop: int = 256, precision: str = "high",
+) -> float:
+    """Evaluation-pass throughput (img/s) for a multi-batch split through
+    the REAL Evaluator code path: device-side stat accumulation with ONE
+    stacked host fetch per pass (train/loop.py; contrast the reference's
+    per-batch host sync, evaluate.py:122-131)."""
+    import jax
+
+    jax.config.update("jax_default_matmul_precision", precision)
+    import jax.numpy as jnp
+
+    from curl_tpu.models import TriSpacePolyNet
+    from curl_tpu.train import state as state_lib
+    from curl_tpu.train import steps as steps_lib
+
+    net = TriSpacePolyNet(backbone="efficientnetv2_rw_t")
+    rng = np.random.default_rng(0)
+    batch_np = {
+        "input_img": rng.uniform(0, 1, (batch, crop, crop, 3)).astype(np.float32),
+        "output_img": rng.uniform(0, 1, (batch, crop, crop, 3)).astype(np.float32),
+        "mask": np.ones((batch, crop, crop, 1), np.float32),
+        "valid_count": np.asarray(batch, np.int32),
+    }
+    dev_batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+    tx = state_lib.make_optimizer(state_lib.onecycle_schedule(1, 1))
+    state = state_lib.create_train_state(
+        net, jax.random.PRNGKey(0),
+        batch_np["input_img"][:1], batch_np["mask"][:1], tx,
+    )
+    eval_step = steps_lib.make_eval_step()
+
+    def one_pass(n_batches: int) -> dict:
+        totals: dict = {}
+        for _ in range(n_batches):
+            stats = eval_step(state, dict(dev_batch))
+            for k in ("loss_sum", "psnr_sum", "psnr_count", "msssim_sum", "count"):
+                totals[k] = stats[k] if k not in totals else totals[k] + stats[k]
+        return steps_lib.summarize_eval(totals)  # the single host fetch
+
+    one_pass(1)  # compile + warm
+    t0 = time.perf_counter()
+    summary = one_pass(iters)
+    dt = time.perf_counter() - t0
+    assert np.isfinite(summary["loss"])
+    return batch * iters / dt
+
+
 def measure_torch_baseline(batch: int = 1, iters: int = 3) -> float:
     """Throughput of the PyTorch reference's tri-space residual + a
     backbone-sized conv stack on CPU, same workload. Uses the reference's
@@ -358,6 +406,11 @@ def main() -> None:
     ap.add_argument("--compute_dtype", default="float32",
                     help="backbone compute dtype for --train")
     ap.add_argument(
+        "--eval",
+        action="store_true",
+        help="measure evaluation-pass throughput (multi-batch, one host sync per pass)",
+    )
+    ap.add_argument(
         "--ingest", choices=["uint8", "float32"], default=None,
         help="measure REAL serving ingest (numpy in/out each batch, full "
              "wire both ways) with the given wire format",
@@ -402,6 +455,21 @@ def main() -> None:
             json.dumps(
                 {
                     "metric": f"1080p_ingest_images_per_sec_{args.ingest}",
+                    "value": round(ips, 3),
+                    "unit": "images/sec",
+                    "vs_baseline": None,
+                }
+            )
+        )
+        return
+
+    if args.eval:
+        iters = 3 if args.quick else 16
+        ips = measure_eval(args.batch, iters)
+        print(
+            json.dumps(
+                {
+                    "metric": f"eval_images_per_sec_256px_batch{args.batch}",
                     "value": round(ips, 3),
                     "unit": "images/sec",
                     "vs_baseline": None,
