@@ -80,6 +80,27 @@ class TestTrainStep:
         summary = steps_lib.summarize_eval({k: float(stats[k]) for k in scalar_keys})
         assert np.isfinite(summary["loss"]) and np.isfinite(summary["psnr"])
 
+    def test_summarize_eval_device_accumulation(self, rng):
+        """Device-scalar totals (the Evaluator's one-sync accumulation,
+        round 4) must summarize identically to host-float totals."""
+        state = _make_state()
+        estep = steps_lib.make_eval_step()
+        totals_dev: dict = {}
+        totals_host: dict = {}
+        scalar_keys = ("loss_sum", "psnr_sum", "psnr_count", "msssim_sum", "count")
+        for i in range(3):
+            batch = _batch(rng, b=2)
+            batch["valid_count"] = jnp.asarray(2, jnp.int32)
+            stats = estep(state, batch)
+            for k in scalar_keys:
+                totals_dev[k] = stats[k] if k not in totals_dev else totals_dev[k] + stats[k]
+                totals_host[k] = totals_host.get(k, 0.0) + float(stats[k])
+        s_dev = steps_lib.summarize_eval(totals_dev)
+        s_host = steps_lib.summarize_eval(totals_host)
+        for k in ("loss", "psnr", "msssim"):
+            assert isinstance(s_dev[k], float)
+            np.testing.assert_allclose(s_dev[k], s_host[k], rtol=1e-6)
+
 
 class TestDataParallel:
     def test_train_step_on_8_device_mesh(self, rng):
