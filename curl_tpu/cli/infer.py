@@ -132,6 +132,27 @@ def infer_dir(
 
     written: list[str] = []
     for shape, items in groups.items():
+        # Images above the per-image HBM heuristic can't run as one whole-
+        # image program at any batch size (docs/ROOFLINE.md: whole 8K OOMs);
+        # serve them through the auto-banded single-image path instead.
+        from curl_tpu.infer.engine import auto_tile_rows
+
+        if auto_tile_rows(shape[0], shape[1], enh.auto_tile_pixels) is not None:
+            import jax.numpy as jnp
+
+            for name, im in items:
+                small = center_crop(
+                    resize_shorter_side(im, backbone_size), backbone_size
+                )
+                out = enh.enhance_image(
+                    jnp.asarray(small[None]),
+                    jnp.ones(small.shape[:2] + (1,), jnp.uint8)[None],
+                    jnp.asarray(im[None]),
+                )
+                path = os.path.join(out_dir, name)
+                save_image_u8(np.asarray(out[0]), path)
+                written.append(path)
+            continue
         # One compiled program per resolution group: the trailing chunk is
         # padded (by repeating its last image) up to the group's batch size
         # so a 9-image group at batch 8 compiles ONE program, not two — a

@@ -257,6 +257,59 @@ class TestInferDirSingleProgram:
         assert len(written) == 6
         assert len(set(written)) == 6
 
+    def test_img_dir_routes_oversized_images_through_banded_path(
+        self, dataset_root, tmp_path, monkeypatch, rng
+    ):
+        """Images above the per-image HBM heuristic (8K in production) must
+        be served via the auto-banded single-image path, not the whole-image
+        stream program (simulated with a tiny bound)."""
+        from PIL import Image
+
+        from curl_tpu.config import Config
+        from curl_tpu.infer import engine as engine_mod
+        from curl_tpu.infer.engine import Enhancer
+
+        logdir = tmp_path / "log"
+        main_cli.main(
+            _common_args(dataset_root, logdir) + ["--num_epoch=1", "--valid_every=1"]
+        )
+        ckpt = glob.glob(str(logdir / "checkpoints" / "curl_validpsnr_*"))[0]
+
+        img_dir = tmp_path / "mixed"
+        img_dir.mkdir()
+        big = rng.uniform(0, 255, (96, 64, 3)).astype(np.uint8)
+        small = rng.uniform(0, 255, (32, 64, 3)).astype(np.uint8)
+        Image.fromarray(big).save(img_dir / "big.png")
+        Image.fromarray(small).save(img_dir / "small.png")
+
+        streamed: list[tuple] = []
+        orig = Enhancer.enhance_stream
+
+        def spy(self, batches, max_in_flight=6):
+            def recording():
+                for s, m, t in batches:
+                    streamed.append(tuple(t.shape[1:3]))
+                    yield s, m, t
+
+            return orig(self, recording(), max_in_flight=max_in_flight)
+
+        monkeypatch.setattr(Enhancer, "enhance_stream", spy)
+        monkeypatch.setattr(engine_mod, "AUTO_TILE_PIXELS", 32 * 64)
+        written = infer_cli.infer_dir(
+            str(img_dir),
+            ckpt,
+            str(tmp_path / "enhanced_mixed"),
+            backbone_size=32,
+            batch_size=4,
+            cfg=Config(backbone="tiny"),
+        )
+        assert sorted(os.path.basename(w) for w in written) == ["big.png", "small.png"]
+        # Only the small group went through the stream; the big image was
+        # served banded.
+        assert streamed == [(32, 64)]
+        out = np.asarray(Image.open(tmp_path / "enhanced_mixed" / "big.png"))
+        assert out.shape == (96, 64, 3)
+
     def test_img_dir_rejects_tile_and_mask_flags(self, tmp_path):
         with pytest.raises(SystemExit):
             infer_cli.main(

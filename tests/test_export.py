@@ -145,3 +145,30 @@ class TestTFLite:
         direct = np.asarray(net.apply(variables, jnp.asarray(img), jnp.asarray(mask), jnp.asarray(target)))
         assert got.shape == direct.shape
         np.testing.assert_allclose(got, direct, atol=5e-5)
+
+    def test_curve_model_tflite_single_output(self, rng, tmp_path):
+        """CurlCurveNet's (image, regulariser) tuple must be unwrapped in the
+        TFLite artifact: one output tensor, matching the direct forward
+        (round-3 ADVICE: the raw tuple produced a two-output artifact that
+        crashed the CLI smoke test)."""
+        pytest.importorskip("tensorflow")
+        import jax
+
+        from curl_tpu.export import tflite as tflite_lib
+        from curl_tpu.models import CurlCurveNet
+
+        net = CurlCurveNet(backbone="tiny")
+        img0 = jnp.zeros((1, 32, 32, 3))
+        mask = np.ones((1, 32, 32, 1), np.float32)
+        variables = net.init(jax.random.PRNGKey(0), img0, jnp.asarray(mask))
+        path = str(tmp_path / "curve.tflite")
+        tflite_lib.export_tflite(
+            net, variables, path, backbone_size=32, target_hw=(48, 40)
+        )
+        img = rng.uniform(0, 1, (1, 32, 32, 3)).astype(np.float32)
+        target = rng.uniform(0, 1, (1, 48, 40, 3)).astype(np.float32)
+        got = tflite_lib.run_tflite(path, img, mask, target)  # asserts 1 output
+        direct, _ = net.apply(
+            variables, jnp.asarray(img), jnp.asarray(mask), jnp.asarray(target)
+        )
+        np.testing.assert_allclose(got, np.asarray(direct), atol=5e-5)
