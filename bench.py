@@ -40,6 +40,7 @@ PREDICT = 320
 DEADLINE_S = float(os.environ.get("BENCH_DEADLINE_S", "420"))
 _T0 = time.monotonic()
 _printed_json = False
+_current_child = None  # in-flight measurement subprocess, killed on deadline
 
 
 def _remaining() -> float:
@@ -58,6 +59,11 @@ def _arm_deadline() -> None:
     def _on_alarm(signum, frame):
         # Preliminary line (if any) is already on stdout — exit cleanly so
         # the driver records it rather than an rc=124 with parsed: null.
+        # Kill any in-flight measurement child first: an orphan would keep
+        # dispatching heavy programs to the chip after bench "finished".
+        child = _current_child
+        if child is not None and child.poll() is None:
+            child.kill()
         sys.stderr.write(
             f"bench: hard deadline ({DEADLINE_S:.0f}s) hit; "
             f"{'preliminary result stands' if _printed_json else 'no result'}\n"
@@ -161,6 +167,8 @@ def _measure_once_subprocess(
     line) down with it. Returns img/s, or None on any failure."""
     import subprocess
 
+    global _current_child
+
     if timeout < 30:
         return None
     code = (
@@ -169,19 +177,25 @@ def _measure_once_subprocess(
         "max_in_flight={mif}))"
     ).format(here=_HERE, b=batch, i=iters, d=dtype, m=impl,
              p=pipelined, mif=max_in_flight)
+    proc = subprocess.Popen(
+        [sys.executable, "-c", code], stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE, text=True, cwd=_HERE,
+    )
+    _current_child = proc  # the deadline handler kills it if we never return
     try:
-        proc = subprocess.run(
-            [sys.executable, "-c", code], capture_output=True, text=True,
-            timeout=timeout, cwd=_HERE,
-        )
+        stdout, stderr = proc.communicate(timeout=timeout)
     except subprocess.TimeoutExpired:
+        proc.kill()
+        proc.communicate()
         return None  # hung worker/relay
-    for line in proc.stdout.splitlines():
+    finally:
+        _current_child = None
+    for line in stdout.splitlines():
         if line.startswith("RESULT "):
             return float(line.split()[1])
     sys.stderr.write(
         f"bench attempt (batch={batch}) failed rc={proc.returncode}: "
-        f"{(proc.stderr or proc.stdout)[-300:]}\n"
+        f"{(stderr or stdout)[-300:]}\n"
     )
     return None
 
@@ -446,6 +460,12 @@ def main() -> None:
         print(json.dumps(baseline_payload))
         return
 
+    # Every device-touching mode runs under the hard deadline: in the relay-
+    # outage mode the first jax op HANGS (CLAUDE.md), and an unbounded run
+    # here is exactly the rc=124/parsed:null failure this file must prevent.
+    # (--measure-baseline above is exempt: torch-CPU, no device, ~20 min.)
+    _arm_deadline()
+
     if args.ingest:
         ips = measure_ingest(
             args.batch, args.iters, wire=args.ingest,
@@ -524,7 +544,6 @@ def main() -> None:
             ),
         }
 
-    _arm_deadline()
     pipelined = not args.latency
     qb, qi = (args.batch, args.iters) if args.quick else (8, 6)
     # Phase A — a quick number on the record FAST (small batch, few iters;

@@ -135,9 +135,14 @@ def infer_dir(
         # Images above the per-image HBM heuristic can't run as one whole-
         # image program at any batch size (docs/ROOFLINE.md: whole 8K OOMs);
         # serve them through the auto-banded single-image path instead.
+        # (Polynomial models only — the curve model's fused pass has no
+        # banded variant and a far smaller memory profile.)
         from curl_tpu.infer.engine import auto_tile_rows
+        from curl_tpu.models.curl_curve import CurlCurveNet as _Curve
 
-        if auto_tile_rows(shape[0], shape[1], enh.auto_tile_pixels) is not None:
+        if not isinstance(enh.model, _Curve) and auto_tile_rows(
+            shape[0], shape[1], enh.auto_tile_pixels
+        ) is not None:
             import jax.numpy as jnp
 
             for name, im in items:

@@ -34,6 +34,17 @@ from curl_tpu.ops import enhance
 AUTO_TILE_PIXELS = 16_777_216
 
 
+def _norm_u8(x, scale: bool):
+    """uint8 wire format -> fp32: images scale by 1/255, masks just cast.
+    Float inputs pass through. ONE definition serves both the fused
+    whole-image program and the banded path so the wire contract can't
+    drift between them."""
+    if x.dtype == jnp.uint8:
+        x = x.astype(jnp.float32)
+        return x / 255.0 if scale else x
+    return x
+
+
 def auto_tile_rows(height: int, width: int, budget_px: int = AUTO_TILE_PIXELS):
     """None if a whole-image program fits the HBM heuristic, else a row-band
     height (multiple of 32 sublanes, min 32) targeting budget_px/2 pixels."""
@@ -75,13 +86,9 @@ class Enhancer:
             )
         )
 
-        def _norm(x, scale: bool):
-            # uint8 wire format for real serving: raw bytes over the
-            # host->device tunnel (4x fewer than fp32), normalized in-program.
-            if x.dtype == jnp.uint8:
-                x = x.astype(jnp.float32)
-                return x / 255.0 if scale else x
-            return x
+        # uint8 wire format for real serving: raw bytes over the
+        # host->device tunnel (4x fewer than fp32), normalized in-program.
+        _norm = _norm_u8
 
         is_curve = isinstance(model, CurlCurveNet)
 
@@ -311,15 +318,9 @@ class Enhancer:
             # The banded path runs in float (the fused u8 wire belongs to the
             # whole-image serving program); normalize u8 inputs here and
             # re-quantize at the end so both paths honor the same contract.
-            def _to_f32(x, scale):
-                if x.dtype == jnp.uint8:
-                    x = x.astype(jnp.float32)
-                    return x / 255.0 if scale else x
-                return x
-
-            img_small = _to_f32(img_small, True)
-            mask_small = _to_f32(mask_small, False)
-            target = _to_f32(target, True)
+            img_small = _norm_u8(img_small, True)
+            mask_small = _norm_u8(mask_small, False)
+            target = _norm_u8(target, True)
             coeffs = self.coefficients(img_small, mask_small)
             residual = self.residual(target, coeffs, tile_rows=tile_rows)
             out = enhance.generate_image(target, residual)

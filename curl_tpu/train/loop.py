@@ -119,13 +119,19 @@ class Evaluator:
                     batch = pipeline.shard_batch(batch, sharding)
                 yield names, batch
 
-        for names, batch in pipeline.prefetch(_device_batches()):
+        for i, (names, batch) in enumerate(pipeline.prefetch(_device_batches())):
             stats = self.eval_step(trainstate, batch)
             enhanced = stats.pop("enhanced")
             psnr_i = stats.pop("psnr_per_image")
             msssim_i = stats.pop("msssim_per_image")
             for k, v in stats.items():
                 totals[k] = v if k not in totals else totals[k] + v
+            if i % 16 == 15:
+                # Backpressure: one cheap scalar fetch per 16 batches bounds
+                # the device dispatch queue (the tunneled worker crashes
+                # under unbounded queues — infer/engine.py notes; in-order
+                # execution means this completes everything queued so far).
+                float(jax.device_get(totals["count"]))
             if save_outputs and jax.process_index() == 0:
                 if hasattr(enhanced, "is_fully_addressable") and not enhanced.is_fully_addressable:
                     log.warning("skipping image dump: output not fully addressable on this host")

@@ -144,8 +144,11 @@ def summarize_eval(totals: dict[str, float]) -> dict[str, float]:
     device scalars (the Evaluator accumulates on device); all values are
     fetched in ONE stacked host transfer — the only sync of an eval pass."""
     keys = sorted(totals)
-    if keys and any(hasattr(totals[k], "device") for k in keys):
-        fetched = np.asarray(jnp.stack([totals[k].astype(jnp.float32) for k in keys]))
+    if keys and any(isinstance(totals[k], jax.Array) for k in keys):
+        # jnp.asarray handles a mix of device scalars and host floats.
+        fetched = np.asarray(
+            jnp.stack([jnp.asarray(totals[k], jnp.float32) for k in keys])
+        )
         totals = {k: float(v) for k, v in zip(keys, fetched)}
     n = max(totals.get("count", 0.0), 1e-9)
     np_ = max(totals.get("psnr_count", 0.0), 1e-9)

@@ -113,6 +113,9 @@ def test_recovery_retry_after_wait(monkeypatch, capsys):
 def test_deadline_bounds_every_wait(monkeypatch):
     # With ~no budget left, attempts must be skipped (timeout < 30 guard)
     # rather than launched with unbounded subprocess timeouts.
+    # Disarm the real alarm: with 1s of budget left the handler's os._exit
+    # could otherwise take down the whole pytest process on a slow host.
+    monkeypatch.setattr(bench, "_arm_deadline", lambda: None)
     monkeypatch.setattr(bench, "_T0", bench.time.monotonic() - 419.0)
     called = []
     orig = bench._measure_once_subprocess

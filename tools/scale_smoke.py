@@ -163,8 +163,21 @@ def main() -> None:
         jax.config.update("jax_platforms", "cpu")
 
     report = {"n": args.n, "size": args.size}
-    if not os.path.isdir(os.path.join(args.root, "images_input")):
+    # Regenerate whenever the requested shape differs from what's on disk —
+    # a stale dataset would silently falsify the reported scale.
+    manifest_path = os.path.join(args.root, "manifest.json")
+    manifest = {"n": args.n, "size": args.size}
+    on_disk = None
+    if os.path.isfile(manifest_path):
+        with open(manifest_path) as f:
+            on_disk = json.load(f)
+    if on_disk != manifest or not os.path.isdir(os.path.join(args.root, "images_input")):
+        import shutil
+
+        shutil.rmtree(args.root, ignore_errors=True)
         report["dataset"] = make_dataset(args.root, args.n, args.size)
+        with open(manifest_path, "w") as f:
+            json.dump(manifest, f)
     report["feed_cold_vs_warm"] = measure_feed(args.root, args.batch, args.cache_mb)
     report["feed_uncached"] = measure_feed(args.root, args.batch, cache_mb=0, epochs=1)
     if not args.skip_cli:
