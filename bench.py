@@ -28,8 +28,16 @@ import numpy as np
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _BASELINE_FILE = os.path.join(_HERE, "bench_baseline.json")
 
-H, W = 1080, 1920
-PREDICT = 320
+# Headline workload shape. The BENCH_HW / BENCH_PREDICT / BENCH_BACKBONE
+# envs exist ONLY for harness smoke tests on CPU (e.g. BENCH_HW=64x64
+# BENCH_BACKBONE=tiny); the driver always measures 1080p on rw_t.
+H, W = (
+    tuple(int(v) for v in os.environ["BENCH_HW"].split("x"))
+    if os.environ.get("BENCH_HW")
+    else (1080, 1920)
+)
+PREDICT = int(os.environ.get("BENCH_PREDICT", "320"))
+BACKBONE = os.environ.get("BENCH_BACKBONE", "efficientnetv2_rw_t")
 
 # Hard wall-clock budget for the default headline run. The round-3 driver
 # record was EMPTY (rc=124) because the old resilient path could legally
@@ -108,13 +116,21 @@ def measure_jax(
         # on this platform — CLAUDE.md); numbers from this mode are NOT
         # headline numbers.
         jax.config.update("jax_platforms", "cpu")
+    if os.environ.get("BENCH_COMPILE_CACHE"):
+        # Opt-in persistent compile cache: would amortize the 30-40s
+        # per-phase compile across bench runs. OFF by default until
+        # executable serialization is verified on the tunneled TPU backend.
+        jax.config.update(
+            "jax_compilation_cache_dir", "/tmp/jax_cache_curl_tpu_bench"
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
     import jax.numpy as jnp
 
     from curl_tpu.infer.engine import Enhancer
     from curl_tpu.models import TriSpacePolyNet
 
     net = TriSpacePolyNet(
-        backbone="efficientnetv2_rw_t", residual_impl=impl,
+        backbone=BACKBONE, residual_impl=impl,
         compute_dtype=compute_dtype,
     )
     rng = np.random.default_rng(0)
@@ -215,7 +231,7 @@ def measure_ingest(
     from curl_tpu.infer.engine import Enhancer
     from curl_tpu.models import TriSpacePolyNet
 
-    net = TriSpacePolyNet(backbone="efficientnetv2_rw_t", residual_impl=impl)
+    net = TriSpacePolyNet(backbone=BACKBONE, residual_impl=impl)
     rng = np.random.default_rng(0)
     if wire == "uint8":
         small = rng.integers(0, 256, (batch, PREDICT, PREDICT, 3)).astype(np.uint8)
@@ -272,7 +288,7 @@ def measure_train(
     from curl_tpu.train import steps as steps_lib
 
     net = TriSpacePolyNet(
-        backbone="efficientnetv2_rw_t", compute_dtype=compute_dtype
+        backbone=BACKBONE, compute_dtype=compute_dtype
     )
     rng = np.random.default_rng(0)
     batch_np = {
@@ -318,7 +334,7 @@ def measure_eval(
     from curl_tpu.train import state as state_lib
     from curl_tpu.train import steps as steps_lib
 
-    net = TriSpacePolyNet(backbone="efficientnetv2_rw_t")
+    net = TriSpacePolyNet(backbone=BACKBONE)
     rng = np.random.default_rng(0)
     batch_np = {
         "input_img": rng.uniform(0, 1, (batch, crop, crop, 3)).astype(np.float32),

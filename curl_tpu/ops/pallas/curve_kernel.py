@@ -170,35 +170,48 @@ def _fused_forward(img, mask, knots_lab, knots_rgb, knots_hsv, k_lab, k_rgb, k_h
             ),
         )
 
+    # CPU backend: pallas runs only in interpret mode — auto-enter the TPU
+    # interpreter so the pallas path works on dev machines (same as the
+    # tri-space kernel; trace-time flag, composes with an outer jit).
+    import contextlib
+
+    interp_ctx = (
+        pltpu.force_tpu_interpret_mode()
+        if jax.default_backend() == "cpu"
+        else contextlib.nullcontext()
+    )
+
     if blocks <= MAX_BLOCKS_PER_CALL:
         # Whole batch as one (image, block) 2-D grid — same measured win and
         # stability envelope as the tri-space kernel (each grid row stays
         # <= MAX_BLOCKS_PER_CALL double-buffered steps; docs/ROOFLINE.md).
-        out = make_call(b, blocks)(slopes, c0, planar, mask_planar)
+        with interp_ctx:
+            out = make_call(b, blocks)(slopes, c0, planar, mask_planar)
     else:
         # Bounded per-image calls, row-chunked within an image when its grid
         # would exceed MAX_BLOCKS_PER_CALL; the curve pass has no positional
         # terms, so chunks need no coordinate offsets.
         calls = {}
         outs = []
-        for i in range(b):
-            chunks = []
-            for c0_blk in range(0, blocks, MAX_BLOCKS_PER_CALL):
-                nb = min(MAX_BLOCKS_PER_CALL, blocks - c0_blk)
-                if nb not in calls:
-                    calls[nb] = make_call(1, nb)
-                r0, r1 = c0_blk * block_rows, (c0_blk + nb) * block_rows
-                chunks.append(
-                    calls[nb](
-                        slopes[i : i + 1],
-                        c0[i : i + 1],
-                        planar[i : i + 1, :, r0:r1, :],
-                        mask_planar[i : i + 1, :, r0:r1, :],
+        with interp_ctx:
+            for i in range(b):
+                chunks = []
+                for c0_blk in range(0, blocks, MAX_BLOCKS_PER_CALL):
+                    nb = min(MAX_BLOCKS_PER_CALL, blocks - c0_blk)
+                    if nb not in calls:
+                        calls[nb] = make_call(1, nb)
+                    r0, r1 = c0_blk * block_rows, (c0_blk + nb) * block_rows
+                    chunks.append(
+                        calls[nb](
+                            slopes[i : i + 1],
+                            c0[i : i + 1],
+                            planar[i : i + 1, :, r0:r1, :],
+                            mask_planar[i : i + 1, :, r0:r1, :],
+                        )
                     )
+                outs.append(
+                    jnp.concatenate(chunks, axis=2) if len(chunks) > 1 else chunks[0]
                 )
-            outs.append(
-                jnp.concatenate(chunks, axis=2) if len(chunks) > 1 else chunks[0]
-            )
         out = jnp.concatenate(outs, axis=0) if b > 1 else outs[0]
     out = out.reshape(b, 3, padded)[:, :, :p].reshape(b, 3, h, w)
     return out.transpose(0, 2, 3, 1)

@@ -210,6 +210,18 @@ def _fused_forward(
             ),
         )
 
+    # The CPU backend only runs pallas in interpret mode ("Only interpret
+    # mode is supported on CPU backend"); entering the TPU interpreter here
+    # keeps the pallas path usable on dev machines and CPU-forced smokes.
+    # The context is a trace-time flag, so this composes with an outer jit.
+    import contextlib
+
+    interp_ctx = (
+        pltpu.force_tpu_interpret_mode()
+        if jax.default_backend() == "cpu"
+        else contextlib.nullcontext()
+    )
+
     if blocks <= MAX_BLOCKS_PER_CALL:
         # Whole batch in ONE (image, block) 2-D grid — measured faster than
         # per-image bounded calls (1.51 vs 1.59 ms/img at 1080p batch 8,
@@ -218,7 +230,8 @@ def _fused_forward(
         # bounded, and each (bi, :) row of the grid is <= MAX_BLOCKS_PER_CALL
         # steps of double-buffered (SUB, 128) tiles.
         scalars = jnp.stack([row0_i32, jnp.int32(0)]).reshape(1, 2)
-        out = make_call(b, blocks)(scalars, coeffs, planar)
+        with interp_ctx:
+            out = make_call(b, blocks)(scalars, coeffs, planar)
     else:
         # High-res: row-range chunks within each image keep every call's
         # grid bounded (e.g. 4K = 2025 blocks -> 4 calls/image). All calls
@@ -226,20 +239,21 @@ def _fused_forward(
         # stable where one huge grid was not (see module docstring).
         calls = {}
         outs = []
-        for i in range(b):
-            chunks = []
-            for c0 in range(0, blocks, MAX_BLOCKS_PER_CALL):
-                nb = min(MAX_BLOCKS_PER_CALL, blocks - c0)
-                if nb not in calls:
-                    calls[nb] = make_call(1, nb)
-                scalars = jnp.stack(
-                    [row0_i32, jnp.int32(c0 * block_px)]
-                ).reshape(1, 2)
-                sl = planar[i : i + 1, :, c0 * block_rows : (c0 + nb) * block_rows, :]
-                chunks.append(calls[nb](scalars, coeffs[i : i + 1], sl))
-            outs.append(
-                jnp.concatenate(chunks, axis=2) if len(chunks) > 1 else chunks[0]
-            )
+        with interp_ctx:
+            for i in range(b):
+                chunks = []
+                for c0 in range(0, blocks, MAX_BLOCKS_PER_CALL):
+                    nb = min(MAX_BLOCKS_PER_CALL, blocks - c0)
+                    if nb not in calls:
+                        calls[nb] = make_call(1, nb)
+                    scalars = jnp.stack(
+                        [row0_i32, jnp.int32(c0 * block_px)]
+                    ).reshape(1, 2)
+                    sl = planar[i : i + 1, :, c0 * block_rows : (c0 + nb) * block_rows, :]
+                    chunks.append(calls[nb](scalars, coeffs[i : i + 1], sl))
+                outs.append(
+                    jnp.concatenate(chunks, axis=2) if len(chunks) > 1 else chunks[0]
+                )
         out = jnp.concatenate(outs, axis=0) if b > 1 else outs[0]
 
     out = out.reshape(b, 3, padded)[:, :, :p].reshape(b, 3, h, w)

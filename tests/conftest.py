@@ -22,6 +22,16 @@ import jax  # noqa: E402
 # is authoritative. Tests must run on the virtual 8-device CPU topology.
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: the expensive jit programs (train/eval steps,
+# backbones) dominate suite time on slow hosts; caching compiled executables
+# across runs cut a representative test 1m42s -> 33s (measured round 4).
+# Keyed by HLO + flags, so it cannot change numerics.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("CURL_TPU_TEST_CACHE", "/tmp/jax_cache_curl_tpu_tests"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
