@@ -36,13 +36,15 @@ def build_enhancer(
         model, jax.random.PRNGKey(0), sample, sample_mask, tx
     )
     state, _ = ckpt_lib.restore(checkpoint_dir, state)
-    return Enhancer(
+    enh = Enhancer(
         model,
         {"params": state.params, "batch_stats": state.batch_stats},
         backbone_size=backbone_size,
         impl=cfg.residual_impl,
         out_u8=out_u8,
     )
+    enh.auto_tile_pixels = cfg.auto_tile_pixels
+    return enh
 
 
 def infer(

@@ -42,6 +42,9 @@ class Config:
     num_rgb_points: int = 48
     num_hsv_points: int = 64
     residual_impl: str = "xla"  # xla | pallas
+    # Per-image pixel bound above which inference auto-streams row bands
+    # (HBM heuristic calibrated on v5e — infer/engine.py); tune per platform.
+    auto_tile_pixels: int = 16_777_216
     curve_impl: str = "xla"  # xla | pallas (curve model fused pass)
     compute_dtype: str = "float32"  # float32 | bfloat16 (backbone fast mode)
     # NOTE: parameters are always fp32 (the right TPU recipe at this model
