@@ -266,7 +266,6 @@ class TestInferDirSingleProgram:
         from PIL import Image
 
         from curl_tpu.config import Config
-        from curl_tpu.infer import engine as engine_mod
         from curl_tpu.infer.engine import Enhancer
 
         logdir = tmp_path / "log"
@@ -294,14 +293,14 @@ class TestInferDirSingleProgram:
             return orig(self, recording(), max_in_flight=max_in_flight)
 
         monkeypatch.setattr(Enhancer, "enhance_stream", spy)
-        monkeypatch.setattr(engine_mod, "AUTO_TILE_PIXELS", 32 * 64)
         written = infer_cli.infer_dir(
             str(img_dir),
             ckpt,
             str(tmp_path / "enhanced_mixed"),
             backbone_size=32,
             batch_size=4,
-            cfg=Config(backbone="tiny"),
+            # The user-facing HBM-heuristic knob, simulated small.
+            cfg=Config(backbone="tiny", auto_tile_pixels=32 * 64),
         )
         assert sorted(os.path.basename(w) for w in written) == ["big.png", "small.png"]
         # Only the small group went through the stream; the big image was
