@@ -27,6 +27,13 @@ import numpy as np
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _BASELINE_FILE = os.path.join(_HERE, "bench_baseline.json")
+# Most recent *live* headline measurement, replayed (clearly marked) only
+# when the device is unreachable for the whole deadline — so a tunnel
+# outage at bench time degrades the record to "here is the last number
+# actually measured on this chip, N hours ago" instead of leaving it empty
+# (the round-3 failure mode). Never a substitute for a live run: any live
+# measurement, however small the batch, takes precedence.
+_LAST_GOOD_FILE = os.path.join(_HERE, "bench_last_good.json")
 
 # Headline workload shape. The BENCH_HW / BENCH_PREDICT / BENCH_BACKBONE
 # envs exist ONLY for harness smoke tests on CPU (e.g. BENCH_HW=64x64
@@ -63,6 +70,60 @@ def _emit(payload: dict) -> None:
     _printed_json = True
 
 
+def _workload_sig() -> dict:
+    return {"H": H, "W": W, "predict": PREDICT, "backbone": BACKBONE}
+
+
+def _is_headline_workload() -> bool:
+    """Cache/replay only applies to the driver's real workload — harness
+    smoke modes (BENCH_HW/BENCH_FORCE_CPU overrides) must neither write nor
+    consume the last-good record."""
+    return not (os.environ.get("BENCH_HW") or os.environ.get("BENCH_FORCE_CPU"))
+
+
+def _save_last_good(payload: dict) -> None:
+    if not _is_headline_workload():
+        return
+    try:
+        with open(_LAST_GOOD_FILE, "w") as f:
+            json.dump(
+                {"payload": payload, "workload": _workload_sig(),
+                 "measured_at_unix": time.time(),
+                 "measured_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())},
+                f, indent=1,
+            )
+    except OSError as e:  # a failed cache write must not fail the bench
+        sys.stderr.write(f"bench: could not write last-good cache: {e}\n")
+
+
+def _emit_cached_fallback() -> bool:
+    """Device unreachable for the whole run: replay the most recent live
+    measurement of the same workload, marked unmistakably as a replay.
+    Returns True iff a line was emitted."""
+    if not _is_headline_workload() or not os.path.isfile(_LAST_GOOD_FILE):
+        return False
+    try:
+        with open(_LAST_GOOD_FILE) as f:
+            rec = json.load(f)
+    except (OSError, ValueError):
+        return False
+    if rec.get("workload") != _workload_sig():
+        return False
+    payload = dict(rec["payload"])
+    age_h = (time.time() - rec.get("measured_at_unix", 0.0)) / 3600.0
+    payload.update(
+        phase="cached-last-good",
+        live_measurement=False,
+        measured_at=rec.get("measured_at"),
+        cache_age_hours=round(age_h, 1),
+        note="device unreachable for the whole bench deadline; this is a "
+        "REPLAY of the most recent live measurement of the same workload, "
+        "not a live number",
+    )
+    _emit(payload)
+    return True
+
+
 def _arm_deadline() -> None:
     def _on_alarm(signum, frame):
         # Preliminary line (if any) is already on stdout — exit cleanly so
@@ -72,9 +133,11 @@ def _arm_deadline() -> None:
         child = _current_child
         if child is not None and child.poll() is None:
             child.kill()
+        if not _printed_json:
+            _emit_cached_fallback()
         sys.stderr.write(
             f"bench: hard deadline ({DEADLINE_S:.0f}s) hit; "
-            f"{'preliminary result stands' if _printed_json else 'no result'}\n"
+            f"{'a result is on the record' if _printed_json else 'no result'}\n"
         )
         os._exit(0 if _printed_json else 1)
 
@@ -553,6 +616,7 @@ def main() -> None:
             "vs_baseline": round(ips / baseline, 2) if baseline else None,
             "phase": phase,
             "batch": batch,
+            "live_measurement": True,
             "baseline": dict(
                 baseline_meta,
                 torch_cpu_images_per_sec=baseline,
@@ -577,7 +641,9 @@ def main() -> None:
                 timeout=_remaining() - 60.0,
             )
     if quick is not None:
-        _emit(payload(quick, "preliminary", qb))
+        p = payload(quick, "preliminary", qb)
+        _emit(p)
+        _save_last_good(p)
 
     # Phase B — refine at the measured round-3 optimum (batch 32) if budget
     # remains; the LAST printed line is the headline.
@@ -587,9 +653,13 @@ def main() -> None:
             args.max_in_flight, timeout=_remaining() - 45.0,
         )
         if final is not None and (quick is None or final >= 0.5 * quick):
-            _emit(payload(final, "final", args.batch))
+            p = payload(final, "final", args.batch)
+            _emit(p)
+            _save_last_good(p)
 
     if not _printed_json:
+        if _emit_cached_fallback():
+            return
         raise RuntimeError("benchmark produced no measurement inside the deadline")
 
 

@@ -4,8 +4,9 @@ every outage mode (VERDICT round 3: BENCH_r03 was rc=124 / parsed:null).
 These tests exercise bench.main()'s control flow with the actual device
 measurement monkeypatched — they verify the *record-keeping contract*, not
 throughput: a preliminary line lands first, refinement replaces it, failures
-degrade to the preliminary line, and a dead device exits non-zero without
-fabricating a number.
+degrade to the preliminary line, a dead device replays the most recent live
+measurement clearly marked as a replay, and with no such record it exits
+non-zero without fabricating a number.
 """
 
 from __future__ import annotations
@@ -21,10 +22,14 @@ import bench  # noqa: E402
 
 
 @pytest.fixture(autouse=True)
-def _reset_bench(monkeypatch):
+def _reset_bench(monkeypatch, tmp_path):
     monkeypatch.setattr(bench, "_printed_json", False)
     monkeypatch.setattr(bench, "_T0", bench.time.monotonic())
     monkeypatch.setattr(bench, "DEADLINE_S", 420.0)
+    # Keep the last-good replay cache out of the repo during tests.
+    monkeypatch.setattr(
+        bench, "_LAST_GOOD_FILE", str(tmp_path / "bench_last_good.json")
+    )
     yield
     signal.alarm(0)  # never leave a pending SIGALRM behind
 
@@ -82,6 +87,76 @@ def test_suspicious_final_is_discarded(monkeypatch, capsys):
 
 
 def test_dead_device_exits_nonzero_without_fabricating(monkeypatch, capsys):
+    # No last-good cache available: fail loudly, fabricate nothing.
+    monkeypatch.setattr(
+        bench, "_measure_once_subprocess", lambda *a, **k: None
+    )
+    monkeypatch.setattr(bench, "_wait_for_device", lambda *a, **k: False)
+    monkeypatch.setattr(sys, "argv", ["bench.py"])
+    with pytest.raises(RuntimeError):
+        bench.main()
+    assert _json_lines(capsys) == []
+
+
+def test_live_run_writes_last_good_cache(monkeypatch, capsys):
+    monkeypatch.setattr(
+        bench, "_measure_once_subprocess",
+        lambda b, *a, **k: 100.0 if b == 8 else 400.0,
+    )
+    monkeypatch.setattr(sys, "argv", ["bench.py"])
+    bench.main()
+    with open(bench._LAST_GOOD_FILE) as f:
+        rec = json.load(f)
+    assert rec["workload"] == bench._workload_sig()
+    assert rec["payload"]["value"] == 400.0
+    assert rec["payload"]["live_measurement"] is True
+    assert rec["measured_at_unix"] > 0
+
+
+def test_dead_device_replays_last_good_marked(monkeypatch, capsys):
+    # A prior live measurement exists: the record degrades to a REPLAY line
+    # that self-describes as cached (never silently passed off as live).
+    with open(bench._LAST_GOOD_FILE, "w") as f:
+        json.dump(
+            {
+                "payload": {
+                    "metric": "1080p_enhanced_images_per_sec_per_chip",
+                    "value": 396.0, "unit": "images/sec",
+                    "vs_baseline": 1.0, "phase": "final", "batch": 32,
+                    "live_measurement": True, "baseline": {},
+                },
+                "workload": bench._workload_sig(),
+                "measured_at_unix": bench.time.time() - 7200,
+                "measured_at": "2026-08-18T00:00:00Z",
+            },
+            f,
+        )
+    monkeypatch.setattr(
+        bench, "_measure_once_subprocess", lambda *a, **k: None
+    )
+    monkeypatch.setattr(bench, "_wait_for_device", lambda *a, **k: False)
+    monkeypatch.setattr(sys, "argv", ["bench.py"])
+    bench.main()  # exits cleanly: a (marked) line IS on the record
+    lines = _json_lines(capsys)
+    assert len(lines) == 1
+    assert lines[0]["phase"] == "cached-last-good"
+    assert lines[0]["live_measurement"] is False
+    assert lines[0]["value"] == 396.0
+    assert lines[0]["cache_age_hours"] == pytest.approx(2.0, abs=0.2)
+    assert "REPLAY" in lines[0]["note"]
+
+
+def test_stale_cache_for_other_workload_not_replayed(monkeypatch, capsys):
+    # A cache written for a different workload shape must not be replayed.
+    with open(bench._LAST_GOOD_FILE, "w") as f:
+        json.dump(
+            {
+                "payload": {"value": 1.0},
+                "workload": {"H": 64, "W": 64, "predict": 32, "backbone": "tiny"},
+                "measured_at_unix": bench.time.time(),
+            },
+            f,
+        )
     monkeypatch.setattr(
         bench, "_measure_once_subprocess", lambda *a, **k: None
     )
