@@ -64,34 +64,51 @@ def _remaining() -> float:
 
 def _emit(payload: dict) -> None:
     """Print one parseable JSON line immediately (the driver tails stdout;
-    an outage mid-refinement must still leave a number on the record)."""
+    an outage mid-refinement must still leave a number on the record).
+    _printed_json is set BEFORE printing: if SIGALRM lands between the two,
+    the handler must not append a stale replay after a just-printed live
+    line (the driver takes the LAST line as the headline)."""
     global _printed_json
-    print(json.dumps(payload), flush=True)
     _printed_json = True
+    print(json.dumps(payload), flush=True)
 
 
-def _workload_sig() -> dict:
-    return {"H": H, "W": W, "predict": PREDICT, "backbone": BACKBONE}
+# Workload+mode signature of the current headline run; set by main() once
+# args are parsed. None in non-headline modes (--train/--eval/--ingest,
+# harness smoke overrides), in which case the last-good cache is neither
+# written nor replayed.
+_RUN_SIG: dict | None = None
 
 
-def _is_headline_workload() -> bool:
-    """Cache/replay only applies to the driver's real workload — harness
-    smoke modes (BENCH_HW/BENCH_FORCE_CPU overrides) must neither write nor
-    consume the last-good record."""
-    return not (os.environ.get("BENCH_HW") or os.environ.get("BENCH_FORCE_CPU"))
+def _compute_run_sig(dtype: str, impl: str, pipelined: bool) -> dict | None:
+    """The replay contract is "the most recent live measurement of the SAME
+    workload": shape (H/W/predict/backbone) AND measurement mode (dtype,
+    kernel impl, pipelined-vs-latency) must all match, and every harness
+    smoke override disqualifies the run entirely."""
+    for env in ("BENCH_HW", "BENCH_FORCE_CPU", "BENCH_PREDICT", "BENCH_BACKBONE"):
+        if os.environ.get(env):
+            return None
+    return {
+        "H": H, "W": W, "predict": PREDICT, "backbone": BACKBONE,
+        "dtype": dtype, "impl": impl, "pipelined": pipelined,
+    }
 
 
 def _save_last_good(payload: dict) -> None:
-    if not _is_headline_workload():
+    if _RUN_SIG is None:
         return
     try:
-        with open(_LAST_GOOD_FILE, "w") as f:
+        tmp = _LAST_GOOD_FILE + ".tmp"
+        with open(tmp, "w") as f:
             json.dump(
-                {"payload": payload, "workload": _workload_sig(),
+                {"payload": payload, "workload": _RUN_SIG,
                  "measured_at_unix": time.time(),
                  "measured_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())},
                 f, indent=1,
             )
+        # Atomic replace: the deadline handler's os._exit mid-write must
+        # never leave a truncated file where a valid record used to be.
+        os.replace(tmp, _LAST_GOOD_FILE)
     except OSError as e:  # a failed cache write must not fail the bench
         sys.stderr.write(f"bench: could not write last-good cache: {e}\n")
 
@@ -99,27 +116,28 @@ def _save_last_good(payload: dict) -> None:
 def _emit_cached_fallback() -> bool:
     """Device unreachable for the whole run: replay the most recent live
     measurement of the same workload, marked unmistakably as a replay.
-    Returns True iff a line was emitted."""
-    if not _is_headline_workload() or not os.path.isfile(_LAST_GOOD_FILE):
+    Returns True iff a line was emitted. Must never raise — it runs inside
+    the SIGALRM handler."""
+    if _RUN_SIG is None or not os.path.isfile(_LAST_GOOD_FILE):
         return False
     try:
         with open(_LAST_GOOD_FILE) as f:
             rec = json.load(f)
-    except (OSError, ValueError):
-        return False
-    if rec.get("workload") != _workload_sig():
-        return False
-    payload = dict(rec["payload"])
-    age_h = (time.time() - rec.get("measured_at_unix", 0.0)) / 3600.0
-    payload.update(
-        phase="cached-last-good",
-        live_measurement=False,
-        measured_at=rec.get("measured_at"),
-        cache_age_hours=round(age_h, 1),
-        note="device unreachable for the whole bench deadline; this is a "
-        "REPLAY of the most recent live measurement of the same workload, "
-        "not a live number",
-    )
+        if rec.get("workload") != _RUN_SIG:
+            return False
+        payload = dict(rec["payload"])
+        age_h = (time.time() - rec.get("measured_at_unix", 0.0)) / 3600.0
+        payload.update(
+            phase="cached-last-good",
+            live_measurement=False,
+            measured_at=rec.get("measured_at"),
+            cache_age_hours=round(age_h, 1),
+            note="device unreachable for the whole bench deadline; this is a "
+            "REPLAY of the most recent live measurement of the same workload, "
+            "not a live number",
+        )
+    except (OSError, ValueError, KeyError, TypeError, AttributeError):
+        return False  # malformed/foreign cache: fail to the loud path
     _emit(payload)
     return True
 
@@ -625,6 +643,10 @@ def main() -> None:
         }
 
     pipelined = not args.latency
+    global _RUN_SIG
+    # --quick is a smoke mode (batch 1): never the record to replay later.
+    if not args.quick:
+        _RUN_SIG = _compute_run_sig(args.dtype, args.impl, pipelined)
     qb, qi = (args.batch, args.iters) if args.quick else (8, 6)
     # Phase A — a quick number on the record FAST (small batch, few iters;
     # ~60-90 s healthy including compile). Retry once behind a bounded

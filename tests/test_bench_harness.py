@@ -26,12 +26,21 @@ def _reset_bench(monkeypatch, tmp_path):
     monkeypatch.setattr(bench, "_printed_json", False)
     monkeypatch.setattr(bench, "_T0", bench.time.monotonic())
     monkeypatch.setattr(bench, "DEADLINE_S", 420.0)
-    # Keep the last-good replay cache out of the repo during tests.
+    # Keep the last-good replay cache out of the repo during tests, and the
+    # ambient environment's smoke overrides out of the sig computation.
     monkeypatch.setattr(
         bench, "_LAST_GOOD_FILE", str(tmp_path / "bench_last_good.json")
     )
+    monkeypatch.setattr(bench, "_RUN_SIG", None)
+    for env in ("BENCH_HW", "BENCH_FORCE_CPU", "BENCH_PREDICT",
+                "BENCH_BACKBONE", "CURL_TPU_IMPL"):
+        monkeypatch.delenv(env, raising=False)
     yield
     signal.alarm(0)  # never leave a pending SIGALRM behind
+
+
+def _default_sig():
+    return bench._compute_run_sig("float32", "pallas", True)
 
 
 def _json_lines(capsys):
@@ -107,35 +116,45 @@ def test_live_run_writes_last_good_cache(monkeypatch, capsys):
     bench.main()
     with open(bench._LAST_GOOD_FILE) as f:
         rec = json.load(f)
-    assert rec["workload"] == bench._workload_sig()
+    assert rec["workload"] == _default_sig()
     assert rec["payload"]["value"] == 400.0
     assert rec["payload"]["live_measurement"] is True
     assert rec["measured_at_unix"] > 0
 
 
-def test_dead_device_replays_last_good_marked(monkeypatch, capsys):
-    # A prior live measurement exists: the record degrades to a REPLAY line
-    # that self-describes as cached (never silently passed off as live).
+def _write_cache(workload, value=396.0, age_s=7200.0, body=None):
     with open(bench._LAST_GOOD_FILE, "w") as f:
         json.dump(
-            {
+            body
+            if body is not None
+            else {
                 "payload": {
                     "metric": "1080p_enhanced_images_per_sec_per_chip",
-                    "value": 396.0, "unit": "images/sec",
+                    "value": value, "unit": "images/sec",
                     "vs_baseline": 1.0, "phase": "final", "batch": 32,
                     "live_measurement": True, "baseline": {},
                 },
-                "workload": bench._workload_sig(),
-                "measured_at_unix": bench.time.time() - 7200,
+                "workload": workload,
+                "measured_at_unix": bench.time.time() - age_s,
                 "measured_at": "2026-08-18T00:00:00Z",
             },
             f,
         )
+
+
+def _run_dead_device(monkeypatch, argv=("bench.py",)):
     monkeypatch.setattr(
         bench, "_measure_once_subprocess", lambda *a, **k: None
     )
     monkeypatch.setattr(bench, "_wait_for_device", lambda *a, **k: False)
-    monkeypatch.setattr(sys, "argv", ["bench.py"])
+    monkeypatch.setattr(sys, "argv", list(argv))
+
+
+def test_dead_device_replays_last_good_marked(monkeypatch, capsys):
+    # A prior live measurement exists: the record degrades to a REPLAY line
+    # that self-describes as cached (never silently passed off as live).
+    _write_cache(_default_sig())
+    _run_dead_device(monkeypatch)
     bench.main()  # exits cleanly: a (marked) line IS on the record
     lines = _json_lines(capsys)
     assert len(lines) == 1
@@ -148,23 +167,55 @@ def test_dead_device_replays_last_good_marked(monkeypatch, capsys):
 
 def test_stale_cache_for_other_workload_not_replayed(monkeypatch, capsys):
     # A cache written for a different workload shape must not be replayed.
-    with open(bench._LAST_GOOD_FILE, "w") as f:
-        json.dump(
-            {
-                "payload": {"value": 1.0},
-                "workload": {"H": 64, "W": 64, "predict": 32, "backbone": "tiny"},
-                "measured_at_unix": bench.time.time(),
-            },
-            f,
-        )
-    monkeypatch.setattr(
-        bench, "_measure_once_subprocess", lambda *a, **k: None
-    )
-    monkeypatch.setattr(bench, "_wait_for_device", lambda *a, **k: False)
-    monkeypatch.setattr(sys, "argv", ["bench.py"])
+    _write_cache({"H": 64, "W": 64, "predict": 32, "backbone": "tiny"})
+    _run_dead_device(monkeypatch)
     with pytest.raises(RuntimeError):
         bench.main()
     assert _json_lines(capsys) == []
+
+
+def test_cache_from_other_measurement_mode_not_replayed(monkeypatch, capsys):
+    # Same shapes but measured in latency mode (synced per batch): several
+    # times slower than pipelined — must not stand in for the headline.
+    sig = dict(_default_sig(), pipelined=False)
+    _write_cache(sig, value=150.0)
+    _run_dead_device(monkeypatch)
+    with pytest.raises(RuntimeError):
+        bench.main()
+    assert _json_lines(capsys) == []
+    # ... and conversely a --latency run may replay only the latency record.
+    monkeypatch.setattr(bench, "_printed_json", False)
+    _run_dead_device(monkeypatch, argv=("bench.py", "--latency"))
+    bench.main()
+    assert _json_lines(capsys)[-1]["value"] == 150.0
+
+
+def test_malformed_cache_fails_loud_not_weird(monkeypatch, capsys):
+    # Valid JSON of the wrong shape (no payload key / non-dict) must fall
+    # through to the loud RuntimeError, not raise from inside the fallback
+    # (which also runs in the SIGALRM handler).
+    for body in ({"workload": _default_sig()}, ["not", "a", "dict"], "junk"):
+        monkeypatch.setattr(bench, "_printed_json", False)
+        _write_cache(None, body=body)
+        _run_dead_device(monkeypatch)
+        with pytest.raises(RuntimeError):
+            bench.main()
+    assert _json_lines(capsys) == []
+
+
+def test_quick_and_smoke_modes_never_touch_the_cache(monkeypatch, capsys):
+    # --quick (batch-1 smoke) must not overwrite the real record...
+    _write_cache(_default_sig(), value=396.0)
+    monkeypatch.setattr(
+        bench, "_measure_once_subprocess", lambda *a, **k: 5.0
+    )
+    monkeypatch.setattr(sys, "argv", ["bench.py", "--quick"])
+    bench.main()
+    with open(bench._LAST_GOOD_FILE) as f:
+        assert json.load(f)["payload"]["value"] == 396.0
+    # ... and any harness env override disqualifies the run from the cache.
+    monkeypatch.setenv("BENCH_BACKBONE", "tiny")
+    assert bench._compute_run_sig("float32", "pallas", True) is None
 
 
 def test_recovery_retry_after_wait(monkeypatch, capsys):
