@@ -186,10 +186,8 @@ def _wait_for_device(max_wait_s: float = 720.0) -> bool:
     return False
 
 
-def measure_jax(
-    batch: int, iters: int, dtype: str, impl: str, pipelined: bool = True,
-    max_in_flight: int = 6, compute_dtype: str = "float32",
-) -> float:
+def _apply_test_env() -> None:
+    """Honor the harness-smoke envs in every measurement child."""
     import jax
 
     if os.environ.get("BENCH_FORCE_CPU"):
@@ -205,6 +203,15 @@ def measure_jax(
             "jax_compilation_cache_dir", "/tmp/jax_cache_curl_tpu_bench"
         )
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+
+def measure_jax(
+    batch: int, iters: int, dtype: str, impl: str, pipelined: bool = True,
+    max_in_flight: int = 6, compute_dtype: str = "float32",
+) -> float:
+    import jax
+
+    _apply_test_env()
     import jax.numpy as jnp
 
     from curl_tpu.infer.engine import Enhancer
@@ -255,13 +262,13 @@ def measure_jax(
     return batch * iters / dt
 
 
-def _measure_once_subprocess(
-    batch: int, iters: int, dtype: str, impl: str, pipelined: bool,
-    max_in_flight: int, timeout: float,
-):
-    """One measurement attempt in a subprocess so a worker crash or relay
-    hang can't take the parent (and its already-printed preliminary JSON
-    line) down with it. Returns img/s, or None on any failure."""
+def _run_child(call_expr: str, timeout: float, what: str):
+    """Run `print('RESULT', <call_expr>)` in a child python and return the
+    parsed float, or None on any failure. Measurement MUST happen in a
+    child: in the relay-outage mode the first jax op hangs inside a C
+    socket read that retries EINTR, so the parent's SIGALRM handler never
+    reaches a Python bytecode boundary — only killing the child from the
+    (interruptibly-waiting) parent bounds the run."""
     import subprocess
 
     global _current_child
@@ -269,11 +276,9 @@ def _measure_once_subprocess(
     if timeout < 30:
         return None
     code = (
-        "import sys; sys.path.insert(0, {here!r});\n"
-        "import bench; print('RESULT', bench.measure_jax({b}, {i}, {d!r}, {m!r}, {p!r}, "
-        "max_in_flight={mif}))"
-    ).format(here=_HERE, b=batch, i=iters, d=dtype, m=impl,
-             p=pipelined, mif=max_in_flight)
+        f"import sys; sys.path.insert(0, {_HERE!r});\n"
+        f"import bench; print('RESULT', {call_expr})"
+    )
     proc = subprocess.Popen(
         [sys.executable, "-c", code], stdout=subprocess.PIPE,
         stderr=subprocess.PIPE, text=True, cwd=_HERE,
@@ -291,10 +296,31 @@ def _measure_once_subprocess(
         if line.startswith("RESULT "):
             return float(line.split()[1])
     sys.stderr.write(
-        f"bench attempt (batch={batch}) failed rc={proc.returncode}: "
+        f"bench attempt ({what}) failed rc={proc.returncode}: "
         f"{(stderr or stdout)[-300:]}\n"
     )
     return None
+
+
+def _measure_once_subprocess(
+    batch: int, iters: int, dtype: str, impl: str, pipelined: bool,
+    max_in_flight: int, timeout: float,
+):
+    """One headline measurement attempt in a subprocess so a worker crash or
+    relay hang can't take the parent (and its already-printed preliminary
+    JSON line) down with it. Returns img/s, or None on any failure."""
+    return _run_child(
+        f"bench.measure_jax({batch}, {iters}, {dtype!r}, {impl!r}, "
+        f"{pipelined!r}, max_in_flight={max_in_flight})",
+        timeout, f"batch={batch}",
+    )
+
+
+def _measure_mode_subprocess(fn: str, kwargs: dict, timeout: float):
+    """Run bench.<fn>(**kwargs) (the --train/--eval/--ingest measurements)
+    in a child, for the same reason as the headline path: an in-process
+    hung device call is immune to SIGALRM."""
+    return _run_child(f"bench.{fn}(**{kwargs!r})", timeout, fn)
 
 
 def measure_ingest(
@@ -309,6 +335,7 @@ def measure_ingest(
     or "float32" (4x the tunnel bytes each way)."""
     import jax
 
+    _apply_test_env()
     from curl_tpu.infer.engine import Enhancer
     from curl_tpu.models import TriSpacePolyNet
 
@@ -361,6 +388,7 @@ def measure_train(
     logging reads the loss."""
     import jax
 
+    _apply_test_env()
     jax.config.update("jax_default_matmul_precision", precision)
     import jax.numpy as jnp
 
@@ -408,6 +436,7 @@ def measure_eval(
     per-batch host sync, evaluate.py:122-131)."""
     import jax
 
+    _apply_test_env()
     jax.config.update("jax_default_matmul_precision", precision)
     import jax.numpy as jnp
 
@@ -432,12 +461,14 @@ def measure_eval(
     eval_step = steps_lib.make_eval_step()
 
     def one_pass(n_batches: int) -> dict:
-        totals: dict = {}
+        per_batch = []
+        keys = ("loss_sum", "psnr_sum", "psnr_count", "msssim_sum", "count")
         for _ in range(n_batches):
             stats = eval_step(state, dict(dev_batch))
-            for k in ("loss_sum", "psnr_sum", "psnr_count", "msssim_sum", "count"):
-                totals[k] = stats[k] if k not in totals else totals[k] + stats[k]
-        return steps_lib.summarize_eval(totals)  # the single host fetch
+            per_batch.append({k: stats[k] for k in keys})
+        # The production Evaluator pattern: ONE stacked fetch per pass,
+        # float64 host summation (train/loop.py + steps.stack_eval_totals).
+        return steps_lib.summarize_eval(steps_lib.stack_eval_totals(per_batch))
 
     one_pass(1)  # compile + warm
     t0 = time.perf_counter()
@@ -563,53 +594,45 @@ def main() -> None:
     # (--measure-baseline above is exempt: torch-CPU, no device, ~20 min.)
     _arm_deadline()
 
-    if args.ingest:
-        ips = measure_ingest(
-            args.batch, args.iters, wire=args.ingest,
-            max_in_flight=args.max_in_flight, impl=args.impl,
+    def _mode_result(metric: str, fn: str, kwargs: dict) -> None:
+        # Child-process isolation (see _run_child): SIGALRM cannot
+        # interrupt an in-process jax call hung in the relay outage.
+        ips = _measure_mode_subprocess(fn, kwargs, timeout=_remaining() - 15.0)
+        if ips is None:
+            sys.stderr.write(f"bench: {fn} produced no measurement\n")
+            sys.exit(1)
+        _emit(
+            {
+                "metric": metric,
+                "value": round(ips, 3),
+                "unit": "images/sec",
+                "vs_baseline": None,
+            }
         )
-        print(
-            json.dumps(
-                {
-                    "metric": f"1080p_ingest_images_per_sec_{args.ingest}",
-                    "value": round(ips, 3),
-                    "unit": "images/sec",
-                    "vs_baseline": None,
-                }
-            )
+
+    if args.ingest:
+        _mode_result(
+            f"1080p_ingest_images_per_sec_{args.ingest}",
+            "measure_ingest",
+            dict(batch=args.batch, iters=args.iters, wire=args.ingest,
+                 max_in_flight=args.max_in_flight, impl=args.impl),
         )
         return
 
     if args.eval:
-        iters = 3 if args.quick else 16
-        ips = measure_eval(args.batch, iters)
-        print(
-            json.dumps(
-                {
-                    "metric": f"eval_images_per_sec_256px_batch{args.batch}",
-                    "value": round(ips, 3),
-                    "unit": "images/sec",
-                    "vs_baseline": None,
-                }
-            )
+        _mode_result(
+            f"eval_images_per_sec_256px_batch{args.batch}",
+            "measure_eval",
+            dict(batch=args.batch, iters=3 if args.quick else 16),
         )
         return
 
     if args.train:
-        iters = 4 if args.quick else 30
-        ips = measure_train(
-            args.batch, iters,
-            precision=args.precision, compute_dtype=args.compute_dtype,
-        )
-        print(
-            json.dumps(
-                {
-                    "metric": f"train_images_per_sec_256px_batch{args.batch}",
-                    "value": round(ips, 3),
-                    "unit": "images/sec",
-                    "vs_baseline": None,
-                }
-            )
+        _mode_result(
+            f"train_images_per_sec_256px_batch{args.batch}",
+            "measure_train",
+            dict(batch=args.batch, iters=4 if args.quick else 30,
+                 precision=args.precision, compute_dtype=args.compute_dtype),
         )
         return
 

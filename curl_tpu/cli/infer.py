@@ -36,15 +36,14 @@ def build_enhancer(
         model, jax.random.PRNGKey(0), sample, sample_mask, tx
     )
     state, _ = ckpt_lib.restore(checkpoint_dir, state)
-    enh = Enhancer(
+    return Enhancer(
         model,
         {"params": state.params, "batch_stats": state.batch_stats},
         backbone_size=backbone_size,
         impl=cfg.residual_impl,
         out_u8=out_u8,
+        auto_tile_pixels=cfg.auto_tile_pixels,
     )
-    enh.auto_tile_pixels = cfg.auto_tile_pixels
-    return enh
 
 
 def infer(
@@ -136,15 +135,9 @@ def infer_dir(
     for shape, items in groups.items():
         # Images above the per-image HBM heuristic can't run as one whole-
         # image program at any batch size (docs/ROOFLINE.md: whole 8K OOMs);
-        # serve them through the auto-banded single-image path instead.
-        # (Polynomial models only — the curve model's fused pass has no
-        # banded variant and a far smaller memory profile.)
-        from curl_tpu.infer.engine import auto_tile_rows
-        from curl_tpu.models.curl_curve import CurlCurveNet as _Curve
-
-        if not isinstance(enh.model, _Curve) and auto_tile_rows(
-            shape[0], shape[1], enh.auto_tile_pixels
-        ) is not None:
+        # serve them through the auto-banded single-image path instead —
+        # the Enhancer's own routing predicate decides.
+        if enh.needs_banding(shape[0], shape[1]) is not None:
             import jax.numpy as jnp
 
             for name, im in items:
@@ -217,6 +210,10 @@ def main(argv=None) -> None:
     parser.add_argument("--out_dir", default=None)
     parser.add_argument("--backbone_size", type=int, default=320)
     parser.add_argument("--tile_rows", type=int, default=None)
+    parser.add_argument("--auto_tile_pixels", type=int, default=None,
+                        help="per-image pixel bound above which inference "
+                             "auto-streams row bands (default: the engine's "
+                             "v5e HBM calibration; tune per platform)")
     parser.add_argument("--batch_size", type=int, default=8)
     parser.add_argument("--max_in_flight", type=int, default=6,
                         help="pipeline depth for --img_dir streaming")
@@ -224,7 +221,8 @@ def main(argv=None) -> None:
                         help="resize all --img_dir images to one resolution "
                              "(single compiled program, e.g. 1080x1920)")
     args = parser.parse_args(argv)
-    cfg = Config(model=args.model, backbone=args.backbone)
+    cfg = Config(model=args.model, backbone=args.backbone,
+                 auto_tile_pixels=args.auto_tile_pixels)
     if args.model == "curve" and args.tile_rows is not None:
         parser.error("--tile_rows applies to the polynomial model only "
                      "(the curve model applies in one fused pass)")

@@ -42,9 +42,10 @@ class Config:
     num_rgb_points: int = 48
     num_hsv_points: int = 64
     residual_impl: str = "xla"  # xla | pallas
-    # Per-image pixel bound above which inference auto-streams row bands
-    # (HBM heuristic calibrated on v5e — infer/engine.py); tune per platform.
-    auto_tile_pixels: int = 16_777_216
+    # Per-image pixel bound above which inference auto-streams row bands.
+    # None = the engine default (infer/engine.AUTO_TILE_PIXELS, the single
+    # source of truth for the v5e HBM calibration); tune per platform.
+    auto_tile_pixels: Optional[int] = None
     curve_impl: str = "xla"  # xla | pallas (curve model fused pass)
     compute_dtype: str = "float32"  # float32 | bfloat16 (backbone fast mode)
     # NOTE: parameters are always fp32 (the right TPU recipe at this model

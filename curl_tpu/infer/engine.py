@@ -68,6 +68,7 @@ class Enhancer:
         backbone_size: int = 320,
         impl: str = "xla",
         out_u8: bool = False,
+        auto_tile_pixels: Optional[int] = None,
     ):
         self.model = model
         # Read-only (property below): _serve_fn closes over the variables at
@@ -78,8 +79,11 @@ class Enhancer:
         self.impl = impl
         self.out_u8 = out_u8
         # Per-image pixel bound above which enhance_image auto-streams row
-        # bands (polynomial models; see auto_tile_rows). Overridable.
-        self.auto_tile_pixels = AUTO_TILE_PIXELS
+        # bands (polynomial models; see auto_tile_rows). None = the module
+        # default (the single source of truth for the v5e calibration).
+        self.auto_tile_pixels = (
+            AUTO_TILE_PIXELS if auto_tile_pixels is None else auto_tile_pixels
+        )
         self._coeff_fn = jax.jit(
             lambda v, img, mask: model.apply(
                 v, img, mask, method=model.generate_coefficients
@@ -289,6 +293,20 @@ class Enhancer:
             inflight.put(None)  # unblock the fetcher if the consumer bailed
             thread.join(timeout=60.0)
 
+    def needs_banding(self, height: int, width: int) -> Optional[int]:
+        """The single routing predicate for oversized images: the row-band
+        height to stream a (height, width) image in, or None when a
+        whole-image program fits the HBM heuristic. Curve models never band
+        (one fused pass, far smaller memory profile than the polynomial
+        residual). Both enhance_image and the directory-serving CLI route
+        through here so the predicate cannot drift between them."""
+        if isinstance(self.model, CurlCurveNet):
+            return None
+        rows = auto_tile_rows(height, width, self.auto_tile_pixels)
+        if rows is not None and rows >= height:
+            return None
+        return rows
+
     def enhance_image(
         self,
         img_small: Array,
@@ -306,12 +324,8 @@ class Enhancer:
         HBM heuristic, row bands otherwise (8K works with no flags —
         VERDICT r3 item 9). Pass an explicit value to force a band height.
         """
-        if tile_rows is None and not isinstance(self.model, CurlCurveNet):
-            tile_rows = auto_tile_rows(
-                target.shape[1], target.shape[2], self.auto_tile_pixels
-            )
-            if tile_rows is not None and tile_rows >= target.shape[1]:
-                tile_rows = None
+        if tile_rows is None:
+            tile_rows = self.needs_banding(target.shape[1], target.shape[2])
         if tile_rows is None:
             out = self._full_fn(self.variables, img_small, mask_small, target)
         else:

@@ -9,4 +9,9 @@ from curl_tpu.train.state import (  # noqa: F401
     onecycle_schedule,
     param_count,
 )
-from curl_tpu.train.steps import make_eval_step, make_train_step, summarize_eval  # noqa: F401
+from curl_tpu.train.steps import (  # noqa: F401
+    make_eval_step,
+    make_train_step,
+    stack_eval_totals,
+    summarize_eval,
+)

@@ -106,12 +106,15 @@ class Evaluator:
         self.eval_step = steps_lib.make_eval_step(cfg.ssim_window_size)
 
     def evaluate(self, trainstate, epoch: int = 0, save_outputs: bool = False, sharding=None):
-        # Device-side accumulation: each batch's scalars are ADDED on device
-        # (async dispatch, no round-trip) and fetched ONCE at the end — the
-        # same one-sync discipline as the training loop. The old per-batch
-        # float(v) paid one ~25 ms tunnel round-trip per eval batch
-        # (reference contrast: evaluate.py:122-131 gathers per batch too).
-        totals: dict[str, object] = {}
+        # One-sync accumulation: each batch's stat scalars stay on device
+        # (async dispatch, no round-trip); at the end they are stacked into
+        # ONE fetched array and summed on the host in float64 — the same
+        # one-sync discipline as the training loop, without fp32 sequential-
+        # add drift on large splits (a 2,250-image pass accumulates psnr_sum
+        # ~5e4, where chained fp32 adds cost up to ~1e-3 dB). The old
+        # per-batch float(v) paid one ~25 ms tunnel round-trip per eval
+        # batch (reference contrast: evaluate.py:122-131 gathers per batch).
+        per_batch: list[dict] = []
         def _device_batches():
             for batch in iter(self.loader):
                 names = batch.pop("name")
@@ -124,14 +127,13 @@ class Evaluator:
             enhanced = stats.pop("enhanced")
             psnr_i = stats.pop("psnr_per_image")
             msssim_i = stats.pop("msssim_per_image")
-            for k, v in stats.items():
-                totals[k] = v if k not in totals else totals[k] + v
+            per_batch.append(stats)
             if i % 16 == 15:
                 # Backpressure: one cheap scalar fetch per 16 batches bounds
                 # the device dispatch queue (the tunneled worker crashes
                 # under unbounded queues — infer/engine.py notes; in-order
                 # execution means this completes everything queued so far).
-                float(jax.device_get(totals["count"]))
+                float(jax.device_get(stats["count"]))
             if save_outputs and jax.process_index() == 0:
                 if hasattr(enhanced, "is_fully_addressable") and not enhanced.is_fully_addressable:
                     log.warning("skipping image dump: output not fully addressable on this host")
@@ -145,7 +147,7 @@ class Evaluator:
                     psnr=np.asarray(psnr_i)[:n_valid],
                     msssim=np.asarray(msssim_i)[:n_valid],
                 )
-        summary = steps_lib.summarize_eval(totals)
+        summary = steps_lib.summarize_eval(steps_lib.stack_eval_totals(per_batch))
         log.info(
             "loss_%s: %.5f psnr_%s: %.3f msssim_%s: %.3f",
             self.split_name, summary["loss"],
