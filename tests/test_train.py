@@ -101,6 +101,19 @@ class TestTrainStep:
             assert isinstance(s_dev[k], float)
             np.testing.assert_allclose(s_dev[k], s_host[k], rtol=1e-6)
 
+    def test_stack_eval_totals_one_fetch_float64(self, rng):
+        """The Evaluator's per-batch stacking path (one fetch per pass) must
+        sum in float64 on the host: a +1 onto 3e8 is lost by chained fp32
+        adds but must survive here (the large-split drift fix)."""
+        per_batch = [{"a": jnp.asarray(1e8, jnp.float32), "b": jnp.asarray(float(i), jnp.float32)}
+                     for i in range(3)]
+        per_batch.append({"a": jnp.asarray(1.0, jnp.float32), "b": jnp.asarray(0.0, jnp.float32)})
+        totals = steps_lib.stack_eval_totals(per_batch)
+        assert totals["a"] == 3e8 + 1.0  # fp32 chained adds would drop the +1
+        assert totals["b"] == 3.0
+        assert all(isinstance(v, float) for v in totals.values())
+        assert steps_lib.stack_eval_totals([]) == {}
+
 
 class TestDataParallel:
     def test_train_step_on_8_device_mesh(self, rng):
