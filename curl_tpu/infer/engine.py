@@ -13,6 +13,7 @@ parallelism.
 from __future__ import annotations
 
 
+import warnings
 from typing import Optional
 
 import jax
@@ -69,6 +70,7 @@ class Enhancer:
         impl: str = "xla",
         out_u8: bool = False,
         auto_tile_pixels: Optional[int] = None,
+        donate_target: bool = False,
     ):
         self.model = model
         # Read-only (property below): _serve_fn closes over the variables at
@@ -122,7 +124,15 @@ class Enhancer:
                 out = jnp.clip(out * 255.0, 0.0, 255.0).astype(jnp.uint8)
             return out
 
-        self._full_fn = jax.jit(_full)
+        # donate_target lets XLA reuse the (large) target buffer for the
+        # output or temporaries — with a float target and float output the
+        # shapes match exactly, so the serve program allocates no second
+        # full-res buffer. Safe ONLY when every call hands over a fresh
+        # buffer (host numpy feeds, as in enhance_stream serving); a caller
+        # that reuses one device-resident target across calls must leave
+        # this off (donated buffers are invalidated).
+        donate = dict(donate_argnums=(3,)) if donate_target else {}
+        self._full_fn = jax.jit(_full, **donate)
 
         def _full_probe(v, img_small, mask_small, target):
             # Serving-path variant: the backpressure probe (a scalar corner
@@ -142,7 +152,8 @@ class Enhancer:
         self._serve_fn = jax.jit(
             lambda img_small, mask_small, target: _full_probe(
                 variables, img_small, mask_small, target
-            )
+            ),
+            **({"donate_argnums": (2,)} if donate_target else {}),
         )
 
     @property
@@ -304,7 +315,31 @@ class Enhancer:
             return None
         rows = auto_tile_rows(height, width, self.auto_tile_pixels)
         if rows is not None and rows >= height:
+            # Pathological aspect ratio (short + extremely wide): the image
+            # exceeds the HBM heuristic but row-banding cannot shrink it
+            # further. Fail LOUDLY instead of silently dispatching an
+            # over-budget whole-image program (ADVICE r4): column banding is
+            # unsupported (pallas lane tiling), so warn and run whole-image.
+            warnings.warn(
+                f"image {height}x{width} exceeds the per-program pixel budget "
+                f"({self.auto_tile_pixels}) but is too short to row-band; "
+                "dispatching a whole-image program — expect possible device "
+                "instability on extreme widths",
+                RuntimeWarning,
+                stacklevel=3,
+            )
             return None
+        if rows is not None and rows * width > self.auto_tile_pixels:
+            # Even the minimum 32-row band overshoots the budget (width >
+            # budget_px/32): band anyway — each dispatched program is still
+            # as small as this layout allows — but say so.
+            warnings.warn(
+                f"minimum 32-row band of width {width} exceeds the "
+                f"per-program pixel budget ({self.auto_tile_pixels}); "
+                "banding at the floor — expect possible device instability",
+                RuntimeWarning,
+                stacklevel=3,
+            )
         return rows
 
     def enhance_image(

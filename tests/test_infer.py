@@ -248,3 +248,27 @@ class TestAutoTile:
         diff = np.abs(whole.astype(np.int32) - banded.astype(np.int32))
         assert diff.max() <= 1
         assert (diff > 0).mean() < 1e-3
+
+    def test_pathological_aspect_ratios_warn(self, enhancer):
+        """Fail-open cases must be LOUD (ADVICE r4): an over-budget image
+        that row-banding can't shrink, and a width whose minimum 32-row
+        band still overshoots the budget, both warn instead of silently
+        dispatching an over-budget program."""
+        import warnings as _w
+
+        enhancer.auto_tile_pixels = 1024
+        try:
+            # Too short to band: 32x1024 > budget, min band >= height.
+            with pytest.warns(RuntimeWarning, match="too short to row-band"):
+                assert enhancer.needs_banding(32, 1024) is None
+            # Bandable, but even one 32-row band overshoots the budget.
+            with pytest.warns(RuntimeWarning, match="minimum 32-row band"):
+                assert enhancer.needs_banding(128, 1024) == 32
+            # In-budget images stay silent.
+            with _w.catch_warnings():
+                _w.simplefilter("error")
+                assert enhancer.needs_banding(16, 16) is None
+        finally:
+            from curl_tpu.infer.engine import AUTO_TILE_PIXELS
+
+            enhancer.auto_tile_pixels = AUTO_TILE_PIXELS

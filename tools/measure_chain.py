@@ -1,0 +1,173 @@
+#!/usr/bin/env python3
+"""Recovery-gated hardware measurement chain (VERDICT r4 item 1a/1b).
+
+The tunneled TPU has two outage modes (CLAUDE.md): worker crashes (recover in
+5-10 min of polling) and relay-process death (jax calls HANG; only the
+platform can restore it — observed >50 min). This chain polls a tiny device
+op until the chip answers, then fires the queued hardware measurements in
+priority order, each in a bounded subprocess. The headline bench runs FIRST
+so a successful pass seeds `bench_last_good.json` (the replay record the
+driver's end-of-round `python bench.py` falls back to during a fresh outage).
+
+Stage markers (`<out>/<name>.rc`) make re-launches idempotent: stages that
+already succeeded are skipped, so the chain can be killed and relaunched at
+any time. Never edit this file while a launched copy is running — kill and
+relaunch instead (CLAUDE.md).
+
+Usage:
+  mkdir -p /tmp/r5_meas
+  nohup python tools/measure_chain.py --out /tmp/r5_meas \
+      >>/tmp/r5_meas/stdout.log 2>&1 &
+  echo $! > /tmp/r5_meas/chain.pid     # kill $(cat ...) to stop — never pkill
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+PY = sys.executable
+
+_PROBE = "import jax, jax.numpy as jnp; print(float(jnp.sum(jnp.ones((8,8)))))"
+
+
+def stages(out: str) -> list[tuple[str, float, list[str]]]:
+    bench = [PY, "bench.py"]
+    return [
+        # -- VERDICT r4 item 1: the headline record + replay-cache seed.
+        ("bench_headline", 600, bench),
+        # -- item 2: post-SSIM-fix training throughput.
+        ("train_b8", 600, bench + ["--train", "--batch", "8"]),
+        ("train_b32", 700, bench + ["--train", "--batch", "32"]),
+        # -- item 4: bf16 compute_dtype throughput (convergence run below).
+        ("train_b8_bf16", 600,
+         bench + ["--train", "--batch", "8", "--compute_dtype", "bfloat16"]),
+        # -- real-serving wire + eval throughput.
+        ("ingest_u8", 600, bench + ["--ingest", "uint8"]),
+        ("eval_b32", 600, bench + ["--eval", "--batch", "32"]),
+        # -- item 2: per-term step attribution (post-SSIM-fix table).
+        ("profile_b8", 1800,
+         [PY, "tools/train_profile.py", "--case", "all", "--batch", "8",
+          "--iters", "12"]),
+        # -- item 6: serving-gap probes (donation, bf16 wire, window).
+        ("serve_sweep", 2400,
+         [PY, "tools/serve_sweep.py", "--out", f"{out}/serve_sweep.jsonl"]),
+        # -- item 8: full-res fine-tune step, pallas (XLA backward) vs xla.
+        ("fullres_backward", 1800, [PY, "tools/fullres_backward_probe.py"]),
+        # -- item 4: bf16 convergence evidence (ABC diagnostic run).
+        ("bf16_converge", 5400,
+         [PY, "tools/train_demo_tpu.py", "--epochs", "40",
+          "--compute_dtype", "bfloat16",
+          "--out", f"{out}/train_evidence_bf16.json"]),
+        # -- item 3: synthetic-proxy scale run, rw_t flagship, >=1000 pairs.
+        ("scale_1000", 9000,
+         [PY, "tools/scale_smoke.py", "--n", "1000",
+          "--backbone", "efficientnetv2_rw_t", "--epochs", "2",
+          "--batch", "16"]),
+        # -- resolution-scaling regression: 8K auto-banded single image.
+        ("infer_8k", 900, [PY, "tools/infer_8k_probe.py"]),
+    ]
+
+
+def log(out: str, msg: str) -> None:
+    line = f"{time.strftime('%Y-%m-%dT%H:%M:%SZ', time.gmtime())} {msg}"
+    print(line, flush=True)
+    with open(os.path.join(out, "chain.log"), "a") as f:
+        f.write(line + "\n")
+
+
+def device_ok() -> bool:
+    """One bounded probe. timeout=90 covers first-compile latency; in the
+    relay-outage mode the op hangs, so the timeout IS the detection."""
+    try:
+        p = subprocess.run(
+            [PY, "-c", _PROBE], capture_output=True, timeout=90, text=True
+        )
+    except subprocess.TimeoutExpired:
+        return False
+    return p.returncode == 0 and "64.0" in p.stdout
+
+
+def wait_for_device(out: str, deadline: float) -> bool:
+    n = 0
+    while time.time() < deadline:
+        if device_ok():
+            if n:
+                log(out, f"device recovered after {n} failed probes")
+            return True
+        n += 1
+        if n == 1 or n % 10 == 0:
+            log(out, f"device unreachable (probe #{n}); polling every 60s")
+        time.sleep(60)
+    return False
+
+
+def run_stage(out: str, name: str, timeout: float, argv: list[str]) -> int:
+    log(out, f"start {name}: {' '.join(argv)}")
+    t0 = time.time()
+    with open(f"{out}/{name}.out", "w") as so, open(f"{out}/{name}.err", "w") as se:
+        try:
+            p = subprocess.run(argv, stdout=so, stderr=se, cwd=REPO, timeout=timeout)
+            rc = p.returncode
+        except subprocess.TimeoutExpired:
+            rc = 124
+    log(out, f"done {name} rc={rc} ({time.time() - t0:.0f}s)")
+    return rc
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="/tmp/r5_meas")
+    ap.add_argument("--max_hours", type=float, default=11.0,
+                    help="total chain lifetime bound")
+    ap.add_argument("--passes", type=int, default=6,
+                    help="max sweeps over the stage list (failed stages retry)")
+    ap.add_argument("--only", default=None,
+                    help="comma-separated stage names to restrict to")
+    args = ap.parse_args()
+    os.makedirs(args.out, exist_ok=True)
+    deadline = time.time() + args.max_hours * 3600
+    todo = stages(args.out)
+    if args.only:
+        names = set(args.only.split(","))
+        todo = [s for s in todo if s[0] in names]
+    log(args.out, f"chain started: {len(todo)} stages, "
+                  f"{args.max_hours}h budget, pid={os.getpid()}")
+
+    for n_pass in range(1, args.passes + 1):
+        pending = [
+            (name, t, argv) for name, t, argv in todo
+            if not _succeeded(args.out, name)
+        ]
+        if not pending:
+            break
+        log(args.out, f"pass {n_pass}: {len(pending)} stages pending")
+        for name, t, argv in pending:
+            if time.time() > deadline:
+                log(args.out, "chain lifetime exhausted")
+                return
+            if not wait_for_device(args.out, deadline):
+                log(args.out, "device never recovered inside the budget")
+                return
+            rc = run_stage(args.out, name, min(t, deadline - time.time()), argv)
+            if rc == 0:
+                with open(f"{args.out}/{name}.rc", "w") as f:
+                    f.write("0\n")
+        time.sleep(120)  # let a crashed worker settle before the next pass
+    log(args.out, "chain complete")
+
+
+def _succeeded(out: str, name: str) -> bool:
+    try:
+        with open(f"{out}/{name}.rc") as f:
+            return f.read().strip() == "0"
+    except OSError:
+        return False
+
+
+if __name__ == "__main__":
+    main()

@@ -24,13 +24,23 @@ _HERE = os.path.dirname(os.path.abspath(__file__))
 _REPO = os.path.dirname(_HERE)
 
 
-def run_case(batch, iters, dtype, compute_dtype, max_in_flight, timeout=1500):
+def run_case(batch, iters, dtype, compute_dtype, max_in_flight, timeout=1500,
+             fn="measure_jax", donate=False):
+    if fn == "measure_ingest":
+        call = (
+            "bench.measure_ingest({b}, {i}, wire={d!r}, max_in_flight={m}, "
+            "donate={don!r})"
+        ).format(b=batch, i=iters, d=dtype, m=max_in_flight, don=donate)
+    else:
+        call = (
+            "bench.measure_jax({b}, {i}, {d!r}, 'pallas', True, "
+            "max_in_flight={m}, compute_dtype={cd!r})"
+        ).format(b=batch, i=iters, d=dtype, m=max_in_flight, cd=compute_dtype)
     code = (
         "import sys; sys.path.insert(0, {repo!r})\n"
         "import bench\n"
-        "print('RESULT', bench.measure_jax({b}, {i}, {d!r}, 'pallas', True, "
-        "max_in_flight={m}, compute_dtype={cd!r}))"
-    ).format(repo=_REPO, b=batch, i=iters, d=dtype, m=max_in_flight, cd=compute_dtype)
+        "print('RESULT', {call})"
+    ).format(repo=_REPO, call=call)
     t0 = time.time()
     try:
         proc = subprocess.run(
@@ -53,24 +63,35 @@ def main() -> None:
     args = ap.parse_args()
 
     cases = [
-        # (batch, dtype, compute_dtype, max_in_flight)
-        (8, "float32", "float32", 6),    # round-2 configuration (control)
-        (8, "float32", "float32", 10),
-        (8, "float32", "bfloat16", 6),
-        (16, "float32", "float32", 6),
-        (16, "float32", "bfloat16", 8),
-        (32, "float32", "bfloat16", 6),
+        # (batch, dtype, compute_dtype, max_in_flight, fn, donate)
+        (8, "float32", "float32", 6, "measure_jax", False),   # r2 control
+        (8, "float32", "float32", 10, "measure_jax", False),
+        (8, "float32", "bfloat16", 6, "measure_jax", False),
+        (16, "float32", "float32", 6, "measure_jax", False),
+        (16, "float32", "bfloat16", 8, "measure_jax", False),
+        (32, "float32", "bfloat16", 6, "measure_jax", False),
+        # -- VERDICT r4 item 6 probes: serving-gap closers.
+        # bf16 target wire: halves the residual pass's HBM read traffic.
+        (32, "bfloat16", "float32", 4, "measure_jax", False),
+        # Deeper pipeline window inside the stability envelope.
+        (32, "float32", "float32", 8, "measure_jax", False),
+        (16, "float32", "float32", 16, "measure_jax", False),
+        # Real-wire ingest with and without target-buffer donation.
+        (32, "uint8", "float32", 4, "measure_ingest", False),
+        (32, "uint8", "float32", 4, "measure_ingest", True),
+        (8, "uint8", "float32", 6, "measure_ingest", True),
     ]
     if args.quick:
         cases = cases[:2]
 
     with open(args.out, "a") as f:
-        for batch, dtype, cd, mif in cases:
+        for batch, dtype, cd, mif, fn, donate in cases:
             iters = max(6, args.iters * 8 // batch)
             res = {
                 "batch": batch, "dtype": dtype, "compute_dtype": cd,
-                "max_in_flight": mif, "iters": iters,
-                **run_case(batch, iters, dtype, cd, mif),
+                "max_in_flight": mif, "iters": iters, "fn": fn,
+                "donate": donate,
+                **run_case(batch, iters, dtype, cd, mif, fn=fn, donate=donate),
             }
             line = json.dumps(res)
             print(line, flush=True)

@@ -95,6 +95,11 @@ def main() -> None:
     ap.add_argument("--model", default="trispace", choices=["trispace", "curve"],
                     help="flagship polynomial model or the knot-curve model")
     ap.add_argument("--curve_impl", default="xla", choices=["xla", "pallas"])
+    ap.add_argument("--compute_dtype", default="float32",
+                    choices=["float32", "bfloat16"],
+                    help="backbone compute dtype — bfloat16 is the advertised "
+                    "fast mode (config.py) needing convergence evidence "
+                    "(VERDICT r4 item 4)")
     # Decoded-image cache: round-2 measured the loop at 1.6-2.7 img/s on
     # this 1-core host while the device step alone runs 115 img/s — the gap
     # is PIL re-decode of the 9 full-res pairs every epoch. 0 disables.
@@ -120,6 +125,7 @@ def main() -> None:
         "--keep_checkpoints", "2",
         "--save_images", "false",
         "--cache_mb", str(args.cache_mb),
+        "--compute_dtype", args.compute_dtype,
     ]
     if args.model == "trispace":
         # Identity init (sigmoid-constant biases) only applies to the
@@ -195,6 +201,7 @@ def main() -> None:
         "batch_size": args.batch_size,
         "crop": args.crop,
         "cache_mb": args.cache_mb,
+        "compute_dtype": args.compute_dtype,
         "train_wall_s": round(wall, 1),
         "train_images_per_sec": round(steps * args.batch_size / wall, 3),
         "steady_images_per_sec": steady,
