@@ -157,9 +157,11 @@ def _emit_cached_fallback() -> bool:
         payload = dict(rec["payload"])
         age_h = (time.time() - rec.get("measured_at_unix", 0.0)) / 3600.0
         payload.update(
-            # The original phase survives as replay_of_phase so a cached
-            # "preliminary" can never masquerade as a final (ADVICE r4).
+            # The original phase/note survive under their own keys so a
+            # cached "preliminary" can never masquerade as a final and the
+            # record's provenance is never erased (ADVICE r4).
             replay_of_phase=payload.get("phase"),
+            origin_note=payload.get("note"),
             phase="cached-last-good",
             live_measurement=False,
             measured_at=rec.get("measured_at"),
@@ -259,7 +261,7 @@ def _apply_test_env() -> None:
 
 def measure_jax(
     batch: int, iters: int, dtype: str, impl: str, pipelined: bool = True,
-    max_in_flight: int = 6, compute_dtype: str = "float32",
+    max_in_flight: int = 6, compute_dtype: str = "float32", chain_k: int = 0,
 ) -> float:
     import jax
 
@@ -288,6 +290,28 @@ def measure_jax(
         # data dependency is the only honest sync.
         return float(jnp.sum(out[:, ::128, ::128]))
 
+    if chain_k:
+        # K-chained dispatch (VERDICT r4 item 6): one program executes
+        # chain_k batches sequentially (Enhancer.enhance_chained), paying
+        # the per-program turnaround once per K batches. Window of 2
+        # chained programs in flight; the probe fetch bounds the queue.
+        ci = jnp.stack([small] * chain_k)
+        cm = jnp.stack([smask] * chain_k)
+        ct = jnp.stack([target] * chain_k)
+        _, probe = enh.enhance_chained(ci, cm, ct)
+        float(probe)  # compile + warm
+        calls = max(1, iters // chain_k)
+        probes = []
+        t0 = time.perf_counter()
+        for _ in range(calls):
+            _, probe = enh.enhance_chained(ci, cm, ct)
+            probes.append(probe)
+            if len(probes) > 2:
+                float(probes.pop(0))  # backpressure: <=2 programs queued
+        for p in probes:
+            float(p)
+        dt = time.perf_counter() - t0
+        return calls * chain_k * batch / dt
     sync(enh.enhance_image(small, smask, target))  # compile + warm
     if pipelined:
         # Throughput mode: the production serving path — enhance_stream
@@ -709,6 +733,12 @@ def main() -> None:
             k: _b[k] for k in ("threads", "host_cores", "torch_version") if k in _b
         }
 
+    # The real progress discriminator (VERDICT r4 weak #2): the >10x-torch-CPU
+    # north star saturated rounds ago; what still moves is served throughput
+    # vs the chip's own sustained-device-time ceiling for this program
+    # (463-475 img/s, K-chained slope method — docs/ROOFLINE.md round 3).
+    _CEILING = 469.0  # midpoint of the measured 463-475 device-slope band
+
     def payload(ips: float, phase: str, batch: int) -> dict:
         # Extra keys self-describe the comparison (VERDICT r3 weak #4): the
         # baseline is the torch reference on THIS 1-core host, so the raw
@@ -721,6 +751,20 @@ def main() -> None:
             "phase": phase,
             "batch": batch,
             "live_measurement": True,
+            # Ceiling comparison only for the real workload (smoke-env runs
+            # measure a different program; the ratio would be meaningless).
+            **(
+                {
+                    "pct_of_device_ceiling": round(100.0 * ips / _CEILING, 1),
+                    "device_ceiling_img_per_s": _CEILING,
+                    "ceiling_note": "sustained device-time ceiling of this "
+                    "serve program (463-475 img/s, K-chained slope, "
+                    "docs/ROOFLINE.md r3); the gap to it is per-program "
+                    "turnaround through the tunnel",
+                }
+                if not _smoke_env_active()
+                else {}
+            ),
             "baseline": dict(
                 baseline_meta,
                 torch_cpu_images_per_sec=baseline,

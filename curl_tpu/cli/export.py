@@ -16,6 +16,7 @@ MLModel predict (coreml_conversion.py:40-43).
 from __future__ import annotations
 
 import argparse
+from typing import Optional
 
 import numpy as np
 
@@ -29,6 +30,7 @@ def export(
     backbone_size: int = 320,
     target_h: int = 1000,
     target_w: int = 1000,
+    target_hw_list: Optional[list[tuple[int, int]]] = None,
     smoke_test: bool = False,
 ) -> str:
     import jax
@@ -52,6 +54,32 @@ def export(
     state, _ = ckpt_lib.restore(checkpoint_dir, state)
     variables = {"params": state.params, "batch_stats": state.batch_stats}
 
+    if fmt == "tflite" and target_hw_list:
+        # Multi-resolution bundle: one artifact per serving resolution plus
+        # a manifest — the mobile role of the reference's RangeDim CoreML
+        # artifact (coreml_conversion.py:33); see export_tflite_bundle.
+        stem = out_path[: -len(".tflite")] if out_path.endswith(".tflite") else out_path
+        manifest = tflite_lib.export_tflite_bundle(
+            model, variables, stem, backbone_size=s, target_hws=target_hw_list,
+            extra_meta={"model": model_name, "backbone": backbone,
+                        "checkpoint": checkpoint_dir},
+        )
+        if smoke_test:
+            rng = np.random.default_rng(0)
+            img = rng.uniform(0, 1, (1, s, s, 3)).astype(np.float32)
+            mask = np.ones((1, s, s, 1), np.float32)
+            for th, tw in target_hw_list:
+                target = rng.uniform(0, 1, (1, th, tw, 3)).astype(np.float32)
+                direct = model.apply(variables, img, mask, target)
+                direct = np.asarray(direct[0] if isinstance(direct, tuple) else direct)
+                got = tflite_lib.run_tflite(f"{stem}_{th}x{tw}.tflite", img, mask, target)
+                err = float(np.abs(got - direct).max())
+                if err > 1e-3:
+                    raise AssertionError(
+                        f"bundle smoke failed at {th}x{tw}: max err {err}"
+                    )
+                print(f"smoke test ok at {th}x{tw}: max |artifact - jax| = {err:.2e}")
+        return manifest
     if fmt == "tflite":
         tflite_lib.export_tflite(
             model, variables, out_path,
@@ -91,8 +119,19 @@ def main(argv=None) -> None:
     ap.add_argument("--backbone_size", type=int, default=320)
     ap.add_argument("--target_h", type=int, default=1000)
     ap.add_argument("--target_w", type=int, default=1000)
+    ap.add_argument(
+        "--target_hw", default=None,
+        help="comma-separated HxW list (e.g. '1080x1920,2160x3840'): export "
+        "a multi-resolution tflite bundle + manifest instead of one artifact",
+    )
     ap.add_argument("--smoke_test", action="store_true")
     args = ap.parse_args(argv)
+    hw_list = None
+    if args.target_hw:
+        hw_list = [
+            tuple(int(v) for v in part.split("x"))
+            for part in args.target_hw.split(",")
+        ]
     path = export(
         args.checkpoint_dir,
         args.out_path,
@@ -102,6 +141,7 @@ def main(argv=None) -> None:
         backbone_size=args.backbone_size,
         target_h=args.target_h,
         target_w=args.target_w,
+        target_hw_list=hw_list,
         smoke_test=args.smoke_test,
     )
     print(f"wrote {path}")

@@ -102,6 +102,8 @@ def run_training(cfg: Config) -> None:
 def main(argv: Optional[list[str]] = None) -> None:
     faulthandler.enable()
     cfg = parse_config(argv)
+    if cfg.platform:
+        jax.config.update("jax_platforms", cfg.platform)
     if cfg.matmul_precision != "default":
         # Training on TPU requires fp32-accurate matmul/conv passes: the
         # platform's fast bf16 passes make optimization diverge (measured —

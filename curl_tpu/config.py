@@ -91,6 +91,10 @@ class Config:
     # loss/PSNR trajectories — docs/TRAIN_EVIDENCE.md. Set "default" to
     # get the fast single pass back (fine for inference-only work).
     matmul_precision: str = "high"  # default | high | highest
+    # Force a jax backend (e.g. "cpu") before any device use. The TPU plugin
+    # ignores the JAX_PLATFORMS env var (CLAUDE.md), so subprocess drivers
+    # (tools/adobe5k_run.py --selftest --cpu) need a CLI knob. None = default.
+    platform: Optional[str] = None
 
     # Misc
     seed: int = 0

@@ -17,6 +17,7 @@ per serving resolution — the transform itself is resolution-independent).
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import numpy as np
@@ -65,6 +66,56 @@ def export_tflite(
     with open(out_path, "wb") as f:
         f.write(flatbuffer)
     return out_path
+
+
+def export_tflite_bundle(
+    model,
+    variables,
+    out_stem: str,
+    backbone_size: int = 320,
+    target_hws: Optional[list[tuple[int, int]]] = None,
+    extra_meta: Optional[dict] = None,
+) -> str:
+    """One invocation -> N fixed-resolution artifacts + a JSON manifest:
+    `<out_stem>_<H>x<W>.tflite` for each requested serving resolution plus
+    `<out_stem>_manifest.json` mapping resolutions to files. This is the
+    phone-side approximation of the reference's variable-resolution CoreML
+    artifact (coreml_conversion.py:33, RangeDim(1,10000)): the app picks the
+    artifact for its output resolution; the transform itself is
+    resolution-independent, so N is small (720p/1080p/4K by default).
+
+    A TRUE single variable-resolution TFLite artifact is not producible with
+    this toolchain: jax2tf polymorphic target dims fail TFLite conversion on
+    dynamic-shape legalizations — `iota` over a dynamic dim ('arith.index_cast
+    ... cast incompatible') and channel slicing of dynamic-dim tensors
+    ('vhlo.dynamic_gather_v1 op is not part of the vhlo support yet') —
+    measured in this environment (2026-08); see docs/PARITY.md. Returns the
+    manifest path.
+    """
+    import json
+
+    if target_hws is None:
+        target_hws = [(720, 1280), (1080, 1920), (2160, 3840)]
+    artifacts = []
+    for h, w in target_hws:
+        path = f"{out_stem}_{h}x{w}.tflite"
+        export_tflite(
+            model, variables, path,
+            backbone_size=backbone_size, target_hw=(h, w),
+        )
+        artifacts.append({"target_h": h, "target_w": w, "file": os.path.basename(path)})
+    manifest_path = f"{out_stem}_manifest.json"
+    manifest = {
+        "format": "tflite-bundle",
+        "backbone_size": backbone_size,
+        "inputs": ["img (1,S,S,3) f32", "mask (1,S,S,1) f32",
+                   "target (1,H,W,3) f32"],
+        "artifacts": artifacts,
+        **(extra_meta or {}),
+    }
+    with open(manifest_path, "w") as f:
+        json.dump(manifest, f, indent=1)
+    return manifest_path
 
 
 def run_tflite(

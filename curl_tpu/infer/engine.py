@@ -156,6 +156,24 @@ class Enhancer:
             **({"donate_argnums": (2,)} if donate_target else {}),
         )
 
+        def _chained(img_small, mask_small, target):
+            # K-chained serving program: inputs carry a leading chain axis
+            # (K, B, ...); lax.scan executes the K batches SEQUENTIALLY in
+            # ONE dispatched program, so the per-program turnaround that
+            # bounds pipelined serving (measured 21.1 ms/batch completion vs
+            # 17.25 ms chained device slope at 1080p batch 8 —
+            # docs/ROOFLINE.md round 3) is paid once per K batches. The scan
+            # body is compiled once; peak live memory is one batch's
+            # intermediates plus the stacked in/outputs.
+            def body(carry, xs):
+                i, m, t = xs
+                return carry, _full(variables, i, m, t)
+
+            _, outs = jax.lax.scan(body, 0, (img_small, mask_small, target))
+            return outs, outs[0, 0, 0, 0, 0]
+
+        self._chained_fn = jax.jit(_chained)
+
     @property
     def variables(self):
         """The model variables (immutable: serving programs close over them)."""
@@ -198,6 +216,16 @@ class Enhancer:
             )
             bands.append(res[:, :rows])
         return jnp.concatenate(bands, axis=1)
+
+    def enhance_chained(self, img_small: Array, mask_small: Array, target: Array):
+        """K-chained serving: all arrays carry a leading chain axis
+        (K, B, ...). ONE dispatched program runs the K batches sequentially
+        (lax.scan), amortizing the per-program turnaround across K — the
+        serving-gap closer for the tunneled platform (docs/ROOFLINE.md).
+        Returns (outputs (K, B, H, W, C), probe scalar); host-fetch the
+        probe to bound the dispatch queue, exactly like enhance_stream's
+        in-program probe."""
+        return self._chained_fn(img_small, mask_small, target)
 
     def enhance_stream(self, batches, max_in_flight: int = 6):
         """Pipelined batch enhancement: yields outputs in order while keeping

@@ -146,6 +146,44 @@ class TestTFLite:
         assert got.shape == direct.shape
         np.testing.assert_allclose(got, direct, atol=5e-5)
 
+    def test_multi_resolution_bundle(self, tiny_variables, rng, tmp_path):
+        """`export_tflite_bundle` writes one artifact per serving resolution
+        plus a manifest, each runnable by the interpreter — the mobile role
+        of the reference's variable-resolution CoreML artifact
+        (coreml_conversion.py:33). A true dynamic-dims TFLite artifact is
+        not producible with this toolchain (see export/tflite.py)."""
+        import json
+
+        pytest.importorskip("tensorflow")
+        from curl_tpu.export import tflite as tflite_lib
+
+        net, variables = tiny_variables
+        stem = str(tmp_path / "enhancer")
+        hws = [(48, 40), (64, 48)]
+        manifest_path = tflite_lib.export_tflite_bundle(
+            net, variables, stem, backbone_size=32, target_hws=hws,
+            extra_meta={"model": "trispace"},
+        )
+        with open(manifest_path) as f:
+            manifest = json.load(f)
+        assert manifest["format"] == "tflite-bundle"
+        assert manifest["model"] == "trispace"
+        assert [(a["target_h"], a["target_w"]) for a in manifest["artifacts"]] == hws
+
+        img = rng.uniform(0, 1, (1, 32, 32, 3)).astype(np.float32)
+        mask = np.ones((1, 32, 32, 1), np.float32)
+        for a in manifest["artifacts"]:
+            path = str(tmp_path / a["file"])
+            assert os.path.getsize(path) > 1000
+            target = rng.uniform(
+                0, 1, (1, a["target_h"], a["target_w"], 3)
+            ).astype(np.float32)
+            got = tflite_lib.run_tflite(path, img, mask, target)
+            direct = np.asarray(net.apply(
+                variables, jnp.asarray(img), jnp.asarray(mask), jnp.asarray(target)
+            ))
+            np.testing.assert_allclose(got, direct, atol=5e-5)
+
     def test_curve_model_tflite_single_output(self, rng, tmp_path):
         """CurlCurveNet's (image, regulariser) tuple must be unwrapped in the
         TFLite artifact: one output tensor, matching the direct forward

@@ -171,6 +171,23 @@ class TestEnhancer:
         assert len(got) == 3
         assert threading.active_count() <= before + 1  # fetcher joined
 
+    def test_enhance_chained_matches_per_batch(self, enhancer, rng):
+        """K-chained serving (one lax.scan program per K batches — the
+        per-program-turnaround amortizer, docs/ROOFLINE.md) must produce
+        exactly the per-batch programs' outputs, in order."""
+        k = 3
+        imgs = jnp.asarray(rng.uniform(0, 1, (k, 1, 32, 32, 3)).astype(np.float32))
+        masks = jnp.ones((k, 1, 32, 32, 1), jnp.float32)
+        targets = jnp.asarray(rng.uniform(0, 1, (k, 1, 48, 48, 3)).astype(np.float32))
+        outs, probe = enhancer.enhance_chained(imgs, masks, targets)
+        assert outs.shape == (k, 1, 48, 48, 3)
+        for j in range(k):
+            direct = enhancer.enhance_image(imgs[j], masks[j], targets[j])
+            np.testing.assert_allclose(
+                np.asarray(outs[j]), np.asarray(direct), atol=1e-6
+            )
+        np.testing.assert_allclose(float(probe), float(outs[0, 0, 0, 0, 0]))
+
     def test_enhance_stream_propagates_batch_errors(self, enhancer, rng):
         """A bad batch (wrong rank) must raise to the consumer, not hang."""
         img = jnp.asarray(rng.uniform(0, 1, (1, 32, 32, 3)).astype(np.float32))

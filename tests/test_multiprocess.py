@@ -47,14 +47,15 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def _run_workers(num_processes: int, data_dir: str, timeout: float = 900.0):
+def _run_workers(num_processes: int, data_dir: str, out_root: str,
+                 timeout: float = 900.0):
     port = _free_port()
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)  # workers set their own device counts
     procs = [
         subprocess.Popen(
             [sys.executable, os.path.join(_HERE, "mp_worker.py"),
-             str(i), str(num_processes), str(port), data_dir],
+             str(i), str(num_processes), str(port), data_dir, out_root],
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env,
         )
         for i in range(num_processes)
@@ -107,9 +108,10 @@ def _local_shard_sums(data_dir: str, process_index: int, process_count: int):
     return sums
 
 
-def _single_process_losses(data_dir: str):
+def _single_process_losses(data_dir: str, log_dir: str):
     """The identical workload on this process's 8-device mesh (the already-
-    verified baseline the multi-process run must reproduce)."""
+    verified baseline the multi-process run must reproduce). Returns
+    (train losses, eval summary)."""
     import jax
 
     from curl_tpu.data import dataset as ds
@@ -146,12 +148,25 @@ def _single_process_losses(data_dir: str):
             gbatch = pipeline.shard_batch(batch, bsh)
             state, stats = train_step(state, gbatch, jax.random.PRNGKey(epoch))
             losses.append(float(stats["loss"]))
-    return losses
+
+    from curl_tpu.config import Config
+    from curl_tpu.train import loop as loop_lib
+
+    eval_loader = pipeline.Loader(
+        records, batch_size=8, crop=(32, 32), train=False, num_threads=2,
+        process_index=0, process_count=1,
+    )
+    cfg = Config(backbone="tiny", crop_h=32, crop_w=32, batch_size=8)
+    evaluator = loop_lib.Evaluator(cfg, eval_loader, "valid", log_dir)
+    summary = evaluator.evaluate(state, epoch=0, save_outputs=False, sharding=bsh)
+    return losses, summary
 
 
 @pytest.mark.slow
-def test_two_processes_match_single_process(dataset_root):
-    outs = _run_workers(2, str(dataset_root))
+def test_two_processes_match_single_process(dataset_root, tmp_path):
+    out_root = str(tmp_path / "mp_out")
+    os.makedirs(out_root)
+    outs = _run_workers(2, str(dataset_root), out_root)
     for rc, out, err in outs:
         assert rc == 0, f"worker failed rc={rc}\nstdout:{out[-2000:]}\nstderr:{err[-2000:]}"
     losses = [_parse_losses(out) for _, out, _ in outs]
@@ -174,5 +189,41 @@ def test_two_processes_match_single_process(dataset_root):
     # in-process XLA collective, and BN normalization amplifies that through
     # the backbone (measured ~4e-5 at step 2; data exactness is pinned by
     # the fingerprints above).
-    expected = _single_process_losses(str(dataset_root))
+    expected, expected_eval = _single_process_losses(
+        str(dataset_root), str(tmp_path / "sp_log")
+    )
     np.testing.assert_allclose(losses[0], expected, atol=5e-4)
+
+    # ---- Evaluator under process_count=2 (VERDICT r4 item 5) ----
+    evals = [_parse_line(out, "EVAL") for _, out, _ in outs]
+    assert evals[0] is not None and evals[1] is not None
+    # Both processes see the same replicated summary...
+    np.testing.assert_allclose(evals[0], evals[1], atol=1e-6)
+    # ... matching the single-process eval up to the same transport noise
+    # (loss/msssim tight; psnr is a log of the same-noise MSE).
+    loss2, psnr2, msssim2 = evals[0]
+    assert abs(loss2 - expected_eval["loss"]) < 5e-4
+    assert abs(psnr2 - expected_eval["psnr"]) < 2e-2
+    assert abs(msssim2 - expected_eval["msssim"]) < 1e-3
+
+    # The process-0 image-dump guard fired (sharded output is not fully
+    # addressable on one host): a warning, no crash, and NO files written.
+    assert any("skipping image dump" in err for _, _, err in outs)
+    dump_dir = os.path.join(out_root, "log", "valid")
+    assert not os.path.isdir(dump_dir) or not any(os.scandir(dump_dir))
+
+    # ---- orbax save/restore across the 2-process topology ----
+    for _, out, _ in outs:
+        ckpt = _parse_line(out, "CKPT")
+        assert ckpt is not None, "worker printed no CKPT line"
+        start_epoch, saved_sum, restored_sum = ckpt
+        assert int(start_epoch) == 1
+        # Bit-exact param restore: identical |params| sums.
+        np.testing.assert_allclose(restored_sum, saved_sum, rtol=0, atol=1e-9)
+        # Eval with the restored state reproduces the pre-save metrics.
+        eval_restored = _parse_line(out, "EVAL_RESTORED")
+        np.testing.assert_allclose(
+            eval_restored, [loss2, psnr2], rtol=0, atol=1e-6
+        )
+    ckpt_dir = os.path.join(out_root, "ckpts")
+    assert os.path.isdir(ckpt_dir) and any(os.scandir(ckpt_dir))

@@ -115,8 +115,25 @@ def run_stage(out: str, name: str, timeout: float, argv: list[str]) -> int:
             rc = p.returncode
         except subprocess.TimeoutExpired:
             rc = 124
+    if rc == 0 and "bench.py" in argv:
+        # bench.py exits 0 even when it degraded to a replay/null record
+        # (by design — the driver's record must always parse). For the
+        # CHAIN, only a LIVE measurement counts as stage success: anything
+        # else must retry on the next pass.
+        rc = 0 if _last_line_is_live(f"{out}/{name}.out") else 75
     log(out, f"done {name} rc={rc} ({time.time() - t0:.0f}s)")
     return rc
+
+
+def _last_line_is_live(path: str) -> bool:
+    import json
+
+    try:
+        with open(path) as f:
+            lines = [l for l in f.read().splitlines() if l.startswith("{")]
+        return bool(lines) and json.loads(lines[-1]).get("live_measurement") is True
+    except (OSError, ValueError):
+        return False
 
 
 def main() -> None:

@@ -25,7 +25,7 @@ _REPO = os.path.dirname(_HERE)
 
 
 def run_case(batch, iters, dtype, compute_dtype, max_in_flight, timeout=1500,
-             fn="measure_jax", donate=False):
+             fn="measure_jax", donate=False, chain_k=0):
     if fn == "measure_ingest":
         call = (
             "bench.measure_ingest({b}, {i}, wire={d!r}, max_in_flight={m}, "
@@ -34,8 +34,9 @@ def run_case(batch, iters, dtype, compute_dtype, max_in_flight, timeout=1500,
     else:
         call = (
             "bench.measure_jax({b}, {i}, {d!r}, 'pallas', True, "
-            "max_in_flight={m}, compute_dtype={cd!r})"
-        ).format(b=batch, i=iters, d=dtype, m=max_in_flight, cd=compute_dtype)
+            "max_in_flight={m}, compute_dtype={cd!r}, chain_k={ck})"
+        ).format(b=batch, i=iters, d=dtype, m=max_in_flight, cd=compute_dtype,
+                 ck=chain_k)
     code = (
         "import sys; sys.path.insert(0, {repo!r})\n"
         "import bench\n"
@@ -63,35 +64,40 @@ def main() -> None:
     args = ap.parse_args()
 
     cases = [
-        # (batch, dtype, compute_dtype, max_in_flight, fn, donate)
-        (8, "float32", "float32", 6, "measure_jax", False),   # r2 control
-        (8, "float32", "float32", 10, "measure_jax", False),
-        (8, "float32", "bfloat16", 6, "measure_jax", False),
-        (16, "float32", "float32", 6, "measure_jax", False),
-        (16, "float32", "bfloat16", 8, "measure_jax", False),
-        (32, "float32", "bfloat16", 6, "measure_jax", False),
+        # (batch, dtype, compute_dtype, max_in_flight, fn, donate, chain_k)
+        (8, "float32", "float32", 6, "measure_jax", False, 0),   # r2 control
+        (8, "float32", "float32", 10, "measure_jax", False, 0),
+        (8, "float32", "bfloat16", 6, "measure_jax", False, 0),
+        (16, "float32", "float32", 6, "measure_jax", False, 0),
+        (16, "float32", "bfloat16", 8, "measure_jax", False, 0),
+        (32, "float32", "bfloat16", 6, "measure_jax", False, 0),
         # -- VERDICT r4 item 6 probes: serving-gap closers.
         # bf16 target wire: halves the residual pass's HBM read traffic.
-        (32, "bfloat16", "float32", 4, "measure_jax", False),
+        (32, "bfloat16", "float32", 4, "measure_jax", False, 0),
         # Deeper pipeline window inside the stability envelope.
-        (32, "float32", "float32", 8, "measure_jax", False),
-        (16, "float32", "float32", 16, "measure_jax", False),
+        (32, "float32", "float32", 8, "measure_jax", False, 0),
+        (16, "float32", "float32", 16, "measure_jax", False, 0),
+        # K-chained dispatch: one program per K batches (lax.scan serve).
+        (8, "float32", "float32", 2, "measure_jax", False, 4),
+        (32, "float32", "float32", 2, "measure_jax", False, 2),
+        (32, "float32", "float32", 2, "measure_jax", False, 4),
         # Real-wire ingest with and without target-buffer donation.
-        (32, "uint8", "float32", 4, "measure_ingest", False),
-        (32, "uint8", "float32", 4, "measure_ingest", True),
-        (8, "uint8", "float32", 6, "measure_ingest", True),
+        (32, "uint8", "float32", 4, "measure_ingest", False, 0),
+        (32, "uint8", "float32", 4, "measure_ingest", True, 0),
+        (8, "uint8", "float32", 6, "measure_ingest", True, 0),
     ]
     if args.quick:
         cases = cases[:2]
 
     with open(args.out, "a") as f:
-        for batch, dtype, cd, mif, fn, donate in cases:
+        for batch, dtype, cd, mif, fn, donate, chain_k in cases:
             iters = max(6, args.iters * 8 // batch)
             res = {
                 "batch": batch, "dtype": dtype, "compute_dtype": cd,
                 "max_in_flight": mif, "iters": iters, "fn": fn,
-                "donate": donate,
-                **run_case(batch, iters, dtype, cd, mif, fn=fn, donate=donate),
+                "donate": donate, "chain_k": chain_k,
+                **run_case(batch, iters, dtype, cd, mif, fn=fn, donate=donate,
+                           chain_k=chain_k),
             }
             line = json.dumps(res)
             print(line, flush=True)
