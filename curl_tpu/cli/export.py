@@ -54,6 +54,33 @@ def export(
     state, _ = ckpt_lib.restore(checkpoint_dir, state)
     variables = {"params": state.params, "batch_stats": state.batch_stats}
 
+    if fmt == "mobile":
+        # Any-resolution mobile artifact set: one fixed-shape TFLite
+        # coefficient predictor + a generated portable C apply kernel the
+        # app compiles — the full RangeDim capability of the reference's
+        # CoreML export (coreml_conversion.py:30-37); see export/mobile.py.
+        from curl_tpu.export import mobile as mobile_lib
+
+        if model_name != "trispace":
+            raise ValueError(
+                "--format mobile exports the tri-space polynomial model "
+                "(the coefficient-predictor/apply split has no curve-model "
+                "counterpart yet); use --format tflite or stablehlo"
+            )
+        stem = out_path[: -len(".tflite")] if out_path.endswith(".tflite") else out_path
+        manifest = mobile_lib.export_mobile_bundle(
+            model, variables, stem, backbone_size=s,
+            extra_meta={"model": model_name, "backbone": backbone,
+                        "checkpoint": checkpoint_dir},
+        )
+        if smoke_test:
+            worst = mobile_lib.smoke_test_bundle(
+                model, variables, stem, backbone_size=s,
+                target_hws=((target_h, target_w), (97, 53)),
+            )
+            print(f"mobile smoke ok: max |artifact - jax| = {worst:.2e} "
+                  f"across resolutions")
+        return manifest
     if fmt == "tflite" and target_hw_list:
         # Multi-resolution bundle: one artifact per serving resolution plus
         # a manifest — the mobile role of the reference's RangeDim CoreML
@@ -113,7 +140,9 @@ def main(argv=None) -> None:
     ap = argparse.ArgumentParser(description="Export a deployment artifact")
     ap.add_argument("--checkpoint_dir", required=True, help="orbax checkpoint directory")
     ap.add_argument("--out_path", required=True)
-    ap.add_argument("--format", default="tflite", choices=["tflite", "stablehlo"])
+    ap.add_argument(
+        "--format", default="tflite", choices=["tflite", "stablehlo", "mobile"]
+    )
     ap.add_argument("--model", default="trispace", choices=["trispace", "curve"])
     ap.add_argument("--backbone", default="efficientnetv2_rw_t")
     ap.add_argument("--backbone_size", type=int, default=320)
