@@ -39,16 +39,20 @@ def stages(out: str) -> list[tuple[str, float, list[str]]]:
     bench = [PY, "bench.py"]
     return [
         # -- VERDICT r4 item 1: the headline record + replay-cache seed.
-        ("bench_headline", 600, bench),
+        # Stage budgets assume the degraded-tunnel profile measured
+        # 2026-08-19 (~320-450 s of setup round-trips before the first
+        # number; single round-trips stalling minutes): the chain exports
+        # BENCH_DEADLINE_S=900 (see main) and stage timeouts sit above it.
+        ("bench_headline", 960, bench),
         # -- item 2: post-SSIM-fix training throughput.
-        ("train_b8", 600, bench + ["--train", "--batch", "8"]),
-        ("train_b32", 700, bench + ["--train", "--batch", "32"]),
+        ("train_b8", 960, bench + ["--train", "--batch", "8"]),
+        ("train_b32", 1100, bench + ["--train", "--batch", "32"]),
         # -- item 4: bf16 compute_dtype throughput (convergence run below).
-        ("train_b8_bf16", 600,
+        ("train_b8_bf16", 960,
          bench + ["--train", "--batch", "8", "--compute_dtype", "bfloat16"]),
         # -- real-serving wire + eval throughput.
-        ("ingest_u8", 600, bench + ["--ingest", "uint8"]),
-        ("eval_b32", 600, bench + ["--eval", "--batch", "32"]),
+        ("ingest_u8", 960, bench + ["--ingest", "uint8"]),
+        ("eval_b32", 960, bench + ["--eval", "--batch", "32"]),
         # -- item 2: per-term step attribution (post-SSIM-fix table).
         ("profile_b8", 1800,
          [PY, "tools/train_profile.py", "--case", "all", "--batch", "8",
@@ -147,6 +151,12 @@ def main() -> None:
                     help="comma-separated stage names to restrict to")
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
+    # Extended bench budget + persistent compile cache for every child this
+    # chain launches (the driver's own end-of-round bench keeps its 420 s
+    # default). Serialization verified on the tunneled backend 2026-08-19
+    # (identical results from a cache-hit run).
+    os.environ.setdefault("BENCH_DEADLINE_S", "900")
+    os.environ.setdefault("BENCH_COMPILE_CACHE", "1")
     deadline = time.time() + args.max_hours * 3600
     todo = stages(args.out)
     if args.only:
