@@ -267,12 +267,18 @@ def _host_init(thunk):
     rw_t eager device init 200-235 s (erratic; single round-trips stalled
     up to 273 s that session), vs CPU init + one device_put ~43 s.
     Threefry RNG is platform-deterministic, so the weights are identical;
-    create the PRNGKey INSIDE the thunk so it lands on the CPU too."""
+    create the PRNGKey INSIDE the thunk so it lands on the CPU too.
+
+    The thunk is run under `jit`: init only returns the variable pytree, so
+    jaxpr-level dead-code elimination drops the model's forward computation
+    — in particular the Pallas kernel, which cannot execute on the CPU
+    backend (eager CPU init of a residual_impl='pallas' model raises
+    'Only interpret mode is supported on CPU backend')."""
     import jax
 
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
-        out = thunk()
+        out = jax.jit(thunk)()
     return jax.device_put(out, jax.devices()[0])
 
 
