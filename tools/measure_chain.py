@@ -174,18 +174,38 @@ def main() -> None:
             break
         log(args.out, f"pass {n_pass}: {len(pending)} stages pending")
         for name, t, argv in pending:
-            if time.time() > deadline:
-                log(args.out, "chain lifetime exhausted")
-                return
-            if not wait_for_device(args.out, deadline):
-                log(args.out, "device never recovered inside the budget")
-                return
-            rc = run_stage(args.out, name, min(t, deadline - time.time()), argv)
-            if rc == 0:
-                with open(f"{args.out}/{name}.rc", "w") as f:
-                    f.write("0\n")
+            # The headline record is the round's top-priority measurement
+            # (VERDICT r4 item 1) and the tunnel's good windows come and go
+            # on a minutes scale: instead of waiting a whole pass (hours of
+            # long stages) to retry a failed headline, re-attempt it before
+            # every other stage until it lands live.
+            for sname, st, sargv in _with_headline_retry(
+                todo, args.out, (name, t, argv)
+            ):
+                if time.time() > deadline:
+                    log(args.out, "chain lifetime exhausted")
+                    return
+                if not wait_for_device(args.out, deadline):
+                    log(args.out, "device never recovered inside the budget")
+                    return
+                rc = run_stage(
+                    args.out, sname, min(st, deadline - time.time()), sargv
+                )
+                if rc == 0:
+                    with open(f"{args.out}/{sname}.rc", "w") as f:
+                        f.write("0\n")
         time.sleep(120)  # let a crashed worker settle before the next pass
     log(args.out, "chain complete")
+
+
+def _with_headline_retry(todo, out: str, stage):
+    """Prefix `stage` with a headline re-attempt when the headline is still
+    outstanding (and `stage` isn't itself the headline)."""
+    name = stage[0]
+    if name != "bench_headline" and not _succeeded(out, "bench_headline"):
+        head = [s for s in todo if s[0] == "bench_headline"]
+        return head + [stage]
+    return [stage]
 
 
 def _succeeded(out: str, name: str) -> bool:
