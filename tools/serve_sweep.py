@@ -89,8 +89,31 @@ def main() -> None:
     if args.quick:
         cases = cases[:2]
 
+    # Resume support: a chain-retried sweep (stage timeout, device outage)
+    # must not re-measure cases that already landed — skip any case whose
+    # knob tuple appears in the output file with a successful measurement.
+    done = set()
+    try:
+        with open(args.out) as f:
+            for line in f:
+                try:
+                    r = json.loads(line)
+                except ValueError:
+                    continue
+                if "images_per_sec" in r:
+                    done.add((r.get("batch"), r.get("dtype"),
+                              r.get("compute_dtype"), r.get("max_in_flight"),
+                              r.get("fn"), r.get("donate"), r.get("chain_k")))
+    except OSError:
+        pass
+
     with open(args.out, "a") as f:
         for batch, dtype, cd, mif, fn, donate, chain_k in cases:
+            if (batch, dtype, cd, mif, fn, donate, chain_k) in done:
+                print(f"skip (already measured): batch={batch} {dtype}/{cd} "
+                      f"mif={mif} {fn} donate={donate} chain_k={chain_k}",
+                      flush=True)
+                continue
             iters = max(6, args.iters * 8 // batch)
             res = {
                 "batch": batch, "dtype": dtype, "compute_dtype": cd,
