@@ -42,8 +42,10 @@ def _reset_bench(monkeypatch, tmp_path):
 
 
 def _default_sig(**over):
+    # The headline workload identity: wire dtype is deliberately NOT part of
+    # it (payload field instead, like batch — see bench._sig_matches).
     sig = {
-        "dtype": "float32", "impl": "pallas", "pipelined": True,
+        "impl": "pallas", "pipelined": True,
         "H": bench.H, "W": bench.W,
         "predict": bench.PREDICT, "backbone": bench.BACKBONE,
     }
@@ -74,7 +76,9 @@ def test_quick_then_final(monkeypatch, capsys):
     # The headline self-describes its baseline (VERDICT r3 weak #4).
     assert "torch_cpu_images_per_sec" in lines[-1]["baseline"]
     assert lines[-1]["vs_baseline"] is not None
-    assert [c[0] for c in calls] == [8, 32]
+    # Third call is the phase-C fast-wire attempt; at 400.0 (no >=5% win
+    # over the fp32 final) it must NOT replace the headline.
+    assert [c[0] for c in calls] == [8, 32, 32]
 
 
 def test_phase_a_clamps_to_user_batch(monkeypatch, capsys):
@@ -90,6 +94,49 @@ def test_phase_a_clamps_to_user_batch(monkeypatch, capsys):
     monkeypatch.setattr(sys, "argv", ["bench.py", "--batch", "4"])
     bench.main()
     assert calls and all(b <= 4 for b in calls)
+
+
+def test_fastwire_refinement_adopted_when_faster(monkeypatch, capsys):
+    # Phase C: the best-known fast wire (bf16 target) replaces the headline
+    # only when it beats the fp32 number by >=5%, self-described via the
+    # payload's dtype field (serve_sweep r5: 465 vs 398.6 img/s).
+    def fake_measure(batch, iters, dtype, impl, pipelined, mif, timeout):
+        return 470.0 if dtype == "bfloat16" else 400.0
+
+    monkeypatch.setattr(bench, "_measure_once_subprocess", fake_measure)
+    monkeypatch.setattr(sys, "argv", ["bench.py"])
+    bench.main()
+    lines = _json_lines(capsys)
+    assert [l["phase"] for l in lines] == [
+        "preliminary", "final", "final-fastwire"
+    ]
+    assert lines[-1]["value"] == 470.0
+    assert lines[-1]["dtype"] == "bfloat16"
+    assert "fp32-wire program" in lines[-1]["ceiling_note"]
+    # The fast-wire record is the most recent live measurement: it replays
+    # for a later default (fp32) run, self-described by its dtype field.
+    with open(bench._LAST_GOOD_FILE) as f:
+        rec = json.load(f)["records"]["headline"]
+    assert rec["payload"]["dtype"] == "bfloat16"
+    assert "dtype" not in rec["workload"]
+    monkeypatch.setattr(bench, "_printed_json", False)
+    _run_dead_device(monkeypatch)
+    bench.main()
+    line = _json_lines(capsys)[-1]
+    assert line["phase"] == "cached-last-good"
+    assert line["value"] == 470.0 and line["dtype"] == "bfloat16"
+
+
+def test_legacy_sig_with_dtype_still_replays(monkeypatch, capsys):
+    # Records written before round 5 carried the wire dtype inside the
+    # workload sig (the committed bench_last_good.json does); they must
+    # stay replay-eligible.
+    _write_cache(dict(_default_sig(), dtype="float32"), value=405.486)
+    _run_dead_device(monkeypatch)
+    bench.main()
+    line = _json_lines(capsys)[0]
+    assert line["phase"] == "cached-last-good"
+    assert line["value"] == 405.486
 
 
 def test_final_failure_keeps_preliminary(monkeypatch, capsys):

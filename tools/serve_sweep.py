@@ -74,6 +74,12 @@ def main() -> None:
         # -- VERDICT r4 item 6 probes: serving-gap closers.
         # bf16 target wire: halves the residual pass's HBM read traffic.
         (32, "bfloat16", "float32", 4, "measure_jax", False, 0),
+        # r5 pass-2 follow-ups to the measured bf16-wire win (465 img/s):
+        # on-device u8 wire (target read 6 MB + u8 output write — the
+        # production contract, exact for 8-bit sources) and a deeper
+        # window on the bf16 winner.
+        (32, "uint8", "float32", 4, "measure_jax", False, 0),
+        (32, "bfloat16", "float32", 6, "measure_jax", False, 0),
         # Deeper pipeline window inside the stability envelope.
         (32, "float32", "float32", 8, "measure_jax", False, 0),
         (16, "float32", "float32", 16, "measure_jax", False, 0),
