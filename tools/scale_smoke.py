@@ -107,26 +107,47 @@ def measure_feed(root: str, batch: int, cache_mb: int, epochs: int = 2) -> dict:
     return out
 
 
-def run_cli(root: str, epochs: int, batch: int, backbone: str, log_dir: str) -> dict:
+def run_cli(root: str, epochs: int, batch: int, backbone: str, log_dir: str,
+            peak_lr: float | None = None, valid_every: int | None = None,
+            identity_init: bool = False) -> dict:
     """The real training CLI + a multi-batch eval split, timed."""
     from curl_tpu.cli import main as main_cli
 
     t0 = time.perf_counter()
+    wall0 = time.time()
     main_cli.main([
         f"--training_img_dirpath={root}",
         f"--backbone={backbone}",
         f"--batch_size={batch}",
         f"--num_epoch={epochs}",
-        f"--valid_every={max(1, epochs)}",
+        f"--valid_every={valid_every if valid_every else max(1, epochs)}",
         "--cache_mb=2048",
         "--num_workers=4",
         f"--log_dirpath={log_dir}",
+        *([f"--peak_lr={peak_lr}"] if peak_lr is not None else []),
+        *(["--identity_init=true"] if identity_init else []),
     ])
     train_s = time.perf_counter() - t0
 
     import glob
 
-    ckpts = sorted(glob.glob(os.path.join(log_dir, "checkpoints", "*")))
+    # Only checkpoints from THIS run: a reused root (same dataset manifest)
+    # keeps the old log dir, and lexicographic psnr-stamped names from a
+    # prior run could otherwise shadow the fresh best checkpoint.
+    def _psnr_of(path: str) -> float:
+        # curl_validpsnr_<psnr>_validloss_<loss>_epoch_<e> (reference-
+        # compatible name, main.py:328-330); numeric parse — lexicographic
+        # order breaks when PSNR crosses a digit boundary (9.8 vs 18.6).
+        try:
+            return float(os.path.basename(path).split("_")[2])
+        except (IndexError, ValueError):
+            return float("-inf")
+
+    ckpts = sorted(
+        (p for p in glob.glob(os.path.join(log_dir, "checkpoints", "*"))
+         if os.path.getmtime(p) >= wall0 - 1.0),
+        key=_psnr_of,
+    )
     assert ckpts, "training produced no checkpoint"
     t1 = time.perf_counter()
     main_cli.main([
@@ -155,6 +176,14 @@ def main() -> None:
     ap.add_argument("--cache_mb", type=int, default=2048)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--skip_cli", action="store_true", help="feed/cache measurement only")
+    ap.add_argument("--skip_feed", action="store_true",
+                    help="CLI run only (skip the feed/cache measurement)")
+    ap.add_argument("--peak_lr", type=float, default=None,
+                    help="OneCycle peak LR passed to the CLI (default: CLI default)")
+    ap.add_argument("--valid_every", type=int, default=None,
+                    help="validation cadence in epochs (default: once, at the end)")
+    ap.add_argument("--identity_init", action="store_true",
+                    help="start from the identity transform (the demo recipe)")
     args = ap.parse_args()
 
     if args.cpu:
@@ -178,12 +207,15 @@ def main() -> None:
         report["dataset"] = make_dataset(args.root, args.n, args.size)
         with open(manifest_path, "w") as f:
             json.dump(manifest, f)
-    report["feed_cold_vs_warm"] = measure_feed(args.root, args.batch, args.cache_mb)
-    report["feed_uncached"] = measure_feed(args.root, args.batch, cache_mb=0, epochs=1)
+    if not args.skip_feed:
+        report["feed_cold_vs_warm"] = measure_feed(args.root, args.batch, args.cache_mb)
+        report["feed_uncached"] = measure_feed(args.root, args.batch, cache_mb=0, epochs=1)
     if not args.skip_cli:
         report["cli"] = run_cli(
             args.root, args.epochs, args.batch, args.backbone,
             os.path.join(args.root, "log"),
+            peak_lr=args.peak_lr, valid_every=args.valid_every,
+            identity_init=args.identity_init,
         )
     print(json.dumps(report, indent=1))
 
