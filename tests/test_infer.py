@@ -108,6 +108,30 @@ class TestEnhancer:
         assert diff.mean() < 1e-3, diff.mean()
         assert np.abs(out8.astype(np.int32) - expect.astype(np.int32)).max() <= 1
 
+    def test_bf16_target_wire_within_one_u8_lsb(self, enhancer, rng):
+        """The bf16 target wire (the measured serving-throughput winner —
+        docs/ROOFLINE.md round 5: 465 vs 405 img/s at 1080p batch 32) must
+        stay within ~1 8-bit LSB of the fp32-wire output: bf16's rounding
+        error on [0,1] pixels (half-ulp 2^-9..2^-8) is at or below uint8's
+        own quantization step, and compute stays fp32 in-program."""
+        tgt8 = rng.integers(0, 256, (2, 48, 48, 3)).astype(np.uint8)
+        img = jnp.asarray(
+            rng.uniform(0, 1, (2, 32, 32, 3)).astype(np.float32)
+        )
+        mask = jnp.ones((2, 32, 32, 1), jnp.float32)
+        tgt_f32 = jnp.asarray(tgt8, jnp.float32) / 255.0
+        out_f32 = np.asarray(enhancer.enhance_image(img, mask, tgt_f32))
+        out_bf16 = np.asarray(
+            enhancer.enhance_image(img, mask, tgt_f32.astype(jnp.bfloat16)),
+            np.float32,
+        )
+        err = np.abs(out_bf16 - out_f32)
+        assert err.max() <= 1.5 / 255.0, err.max()
+        # ... and the u8-quantized bytes a server would emit differ by <=1.
+        q32 = np.clip(out_f32 * 255.0, 0, 255).astype(np.int32)
+        qbf = np.clip(out_bf16 * 255.0, 0, 255).astype(np.int32)
+        assert np.abs(qbf - q32).max() <= 1
+
     def test_u8_white_matte(self, enhancer, rng):
         """White-background matte on the u8 path: masked-out pixels become
         exactly 255."""
