@@ -297,6 +297,7 @@ def _host_init(thunk):
 def measure_jax(
     batch: int, iters: int, dtype: str, impl: str, pipelined: bool = True,
     max_in_flight: int = 6, compute_dtype: str = "float32", chain_k: int = 0,
+    out_u8: bool = False,
 ) -> float:
     import jax
 
@@ -330,9 +331,12 @@ def measure_jax(
         target = target.astype(jnp.bfloat16)
     elif dtype == "uint8":
         target = jnp.clip(target * 255.0, 0.0, 255.0).astype(jnp.uint8)
+    # out_u8 quantizes the output write in-program (24 -> 6 MB at 1080p);
+    # implied by the u8 target wire, or combinable with bf16-in (pays
+    # quantize-out but not normalize-in).
     enh = Enhancer(
         net, variables, backbone_size=PREDICT, impl=impl,
-        out_u8=dtype == "uint8",
+        out_u8=dtype == "uint8" or out_u8,
     )
 
     def sync(out) -> float:

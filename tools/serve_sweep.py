@@ -25,7 +25,7 @@ _REPO = os.path.dirname(_HERE)
 
 
 def run_case(batch, iters, dtype, compute_dtype, max_in_flight, timeout=1500,
-             fn="measure_jax", donate=False, chain_k=0):
+             fn="measure_jax", donate=False, chain_k=0, out_u8=False):
     if fn == "measure_ingest":
         call = (
             "bench.measure_ingest({b}, {i}, wire={d!r}, max_in_flight={m}, "
@@ -34,9 +34,10 @@ def run_case(batch, iters, dtype, compute_dtype, max_in_flight, timeout=1500,
     else:
         call = (
             "bench.measure_jax({b}, {i}, {d!r}, 'pallas', True, "
-            "max_in_flight={m}, compute_dtype={cd!r}, chain_k={ck})"
+            "max_in_flight={m}, compute_dtype={cd!r}, chain_k={ck}, "
+            "out_u8={o!r})"
         ).format(b=batch, i=iters, d=dtype, m=max_in_flight, cd=compute_dtype,
-                 ck=chain_k)
+                 ck=chain_k, o=out_u8)
     code = (
         "import sys; sys.path.insert(0, {repo!r})\n"
         "import bench\n"
@@ -64,7 +65,8 @@ def main() -> None:
     args = ap.parse_args()
 
     cases = [
-        # (batch, dtype, compute_dtype, max_in_flight, fn, donate, chain_k)
+        # (batch, dtype, compute_dtype, max_in_flight, fn, donate, chain_k
+        #  [, out_u8])
         (8, "float32", "float32", 6, "measure_jax", False, 0),   # r2 control
         (8, "float32", "float32", 10, "measure_jax", False, 0),
         (8, "float32", "bfloat16", 6, "measure_jax", False, 0),
@@ -80,6 +82,10 @@ def main() -> None:
         # window on the bf16 winner.
         (32, "uint8", "float32", 4, "measure_jax", False, 0),
         (32, "bfloat16", "float32", 6, "measure_jax", False, 0),
+        # bf16-in + u8-out: halves the read AND quarters the write, paying
+        # quantize-out but not the u8 wire's normalize-in (which made pure
+        # u8 slower than bf16: 418 vs 465).
+        (32, "bfloat16", "float32", 4, "measure_jax", False, 0, True),
         # Deeper pipeline window inside the stability envelope.
         (32, "float32", "float32", 8, "measure_jax", False, 0),
         (16, "float32", "float32", 16, "measure_jax", False, 0),
@@ -109,24 +115,28 @@ def main() -> None:
                 if "images_per_sec" in r:
                     done.add((r.get("batch"), r.get("dtype"),
                               r.get("compute_dtype"), r.get("max_in_flight"),
-                              r.get("fn"), r.get("donate"), r.get("chain_k")))
+                              r.get("fn"), r.get("donate"), r.get("chain_k"),
+                              bool(r.get("out_u8"))))
     except OSError:
         pass
 
     with open(args.out, "a") as f:
-        for batch, dtype, cd, mif, fn, donate, chain_k in cases:
-            if (batch, dtype, cd, mif, fn, donate, chain_k) in done:
+        for case in cases:
+            batch, dtype, cd, mif, fn, donate, chain_k = case[:7]
+            out_u8 = bool(case[7]) if len(case) > 7 else False
+            if (batch, dtype, cd, mif, fn, donate, chain_k, out_u8) in done:
                 print(f"skip (already measured): batch={batch} {dtype}/{cd} "
-                      f"mif={mif} {fn} donate={donate} chain_k={chain_k}",
+                      f"mif={mif} {fn} donate={donate} chain_k={chain_k} "
+                      f"out_u8={out_u8}",
                       flush=True)
                 continue
             iters = max(6, args.iters * 8 // batch)
             res = {
                 "batch": batch, "dtype": dtype, "compute_dtype": cd,
                 "max_in_flight": mif, "iters": iters, "fn": fn,
-                "donate": donate, "chain_k": chain_k,
+                "donate": donate, "chain_k": chain_k, "out_u8": out_u8,
                 **run_case(batch, iters, dtype, cd, mif, fn=fn, donate=donate,
-                           chain_k=chain_k),
+                           chain_k=chain_k, out_u8=out_u8),
             }
             line = json.dumps(res)
             print(line, flush=True)
