@@ -72,6 +72,16 @@ def stages(out: str) -> list[tuple[str, float, list[str]]]:
          [PY, "tools/scale_smoke.py", "--n", "1000",
           "--backbone", "efficientnetv2_rw_t", "--epochs", "2",
           "--batch", "16"]),
+        # -- item 3 follow-up: the learning-CURVE run at 1,000 pairs. The
+        # 2-epoch stage above is scale/throughput evidence only (per-epoch
+        # OneCycle puts epoch 2 on the annihilation tail); this one uses the
+        # demo recipe so valid PSNR actually climbs. Not in the default
+        # round-5 set (ran via --only after the first chain completed).
+        ("scale_curve", 5400,
+         [PY, "tools/scale_smoke.py", "--n", "1000",
+          "--backbone", "efficientnetv2_rw_t", "--epochs", "10",
+          "--batch", "16", "--identity_init", "--peak_lr", "3e-4",
+          "--valid_every", "2", "--skip_feed"]),
         # -- resolution-scaling regression: 8K auto-banded single image.
         ("infer_8k", 900, [PY, "tools/infer_8k_probe.py"]),
     ]
