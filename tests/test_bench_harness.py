@@ -61,7 +61,8 @@ def _json_lines(capsys):
 def test_quick_then_final(monkeypatch, capsys):
     calls = []
 
-    def fake_measure(batch, iters, dtype, impl, pipelined, mif, timeout):
+    def fake_measure(batch, iters, dtype, impl, pipelined, mif, timeout,
+                     out_u8=False):
         calls.append((batch, timeout))
         assert timeout > 30, "every attempt must carry a real budget"
         return 100.0 if batch == 8 else 400.0
@@ -86,7 +87,8 @@ def test_phase_a_clamps_to_user_batch(monkeypatch, capsys):
     # a bigger program dispatched first (ADVICE r4).
     calls = []
 
-    def fake_measure(batch, iters, dtype, impl, pipelined, mif, timeout):
+    def fake_measure(batch, iters, dtype, impl, pipelined, mif, timeout,
+                     out_u8=False):
         calls.append(batch)
         return 50.0
 
@@ -100,8 +102,14 @@ def test_fastwire_refinement_adopted_when_faster(monkeypatch, capsys):
     # Phase C: the best-known fast wire (bf16 target) replaces the headline
     # only when it beats the fp32 number by >=5%, self-described via the
     # payload's dtype field (serve_sweep r5: 465 vs 398.6 img/s).
-    def fake_measure(batch, iters, dtype, impl, pipelined, mif, timeout):
-        return 470.0 if dtype == "bfloat16" else 400.0
+    seen_u8 = []
+
+    def fake_measure(batch, iters, dtype, impl, pipelined, mif, timeout,
+                     out_u8=False):
+        if dtype == "bfloat16":
+            seen_u8.append(out_u8)
+            return 470.0
+        return 400.0
 
     monkeypatch.setattr(bench, "_measure_once_subprocess", fake_measure)
     monkeypatch.setattr(sys, "argv", ["bench.py"])
@@ -112,6 +120,8 @@ def test_fastwire_refinement_adopted_when_faster(monkeypatch, capsys):
     ]
     assert lines[-1]["value"] == 470.0
     assert lines[-1]["dtype"] == "bfloat16"
+    # The fast wire is the full combo: bf16 target read + u8 output write.
+    assert seen_u8 == [True] and lines[-1]["out_u8"] is True
     assert "fp32-wire program" in lines[-1]["ceiling_note"]
     # The fast-wire record is the most recent live measurement: it replays
     # for a later default (fp32) run, self-described by its dtype field.
@@ -140,7 +150,8 @@ def test_legacy_sig_with_dtype_still_replays(monkeypatch, capsys):
 
 
 def test_final_failure_keeps_preliminary(monkeypatch, capsys):
-    def fake_measure(batch, iters, dtype, impl, pipelined, mif, timeout):
+    def fake_measure(batch, iters, dtype, impl, pipelined, mif, timeout,
+                     out_u8=False):
         return 100.0 if batch == 8 else None  # refinement crashes/times out
 
     monkeypatch.setattr(bench, "_measure_once_subprocess", fake_measure)
@@ -154,7 +165,8 @@ def test_final_failure_keeps_preliminary(monkeypatch, capsys):
 def test_suspicious_final_is_discarded(monkeypatch, capsys):
     # A refinement run that lands at <50% of the quick number means the
     # device degraded mid-run; keep the healthy preliminary measurement.
-    def fake_measure(batch, iters, dtype, impl, pipelined, mif, timeout):
+    def fake_measure(batch, iters, dtype, impl, pipelined, mif, timeout,
+                     out_u8=False):
         return 300.0 if batch == 8 else 20.0
 
     monkeypatch.setattr(bench, "_measure_once_subprocess", fake_measure)
@@ -357,7 +369,8 @@ def test_quick_and_smoke_modes_never_touch_the_cache(monkeypatch, capsys):
 def test_recovery_retry_after_wait(monkeypatch, capsys):
     state = {"n": 0}
 
-    def fake_measure(batch, iters, dtype, impl, pipelined, mif, timeout):
+    def fake_measure(batch, iters, dtype, impl, pipelined, mif, timeout,
+                     out_u8=False):
         state["n"] += 1
         if state["n"] == 1:
             return None  # first quick attempt dies (worker crash)
@@ -382,9 +395,10 @@ def test_deadline_bounds_every_wait(monkeypatch, capsys):
     called = []
     orig = bench._measure_once_subprocess
 
-    def spy(batch, iters, dtype, impl, pipelined, mif, timeout):
+    def spy(batch, iters, dtype, impl, pipelined, mif, timeout, out_u8=False):
         called.append(timeout)
-        return orig(batch, iters, dtype, impl, pipelined, mif, timeout)
+        return orig(batch, iters, dtype, impl, pipelined, mif, timeout,
+                    out_u8=out_u8)
 
     monkeypatch.setattr(bench, "_measure_once_subprocess", spy)
     monkeypatch.setattr(bench, "_wait_for_device", lambda *a, **k: False)
