@@ -676,10 +676,18 @@ def main() -> None:
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--max_in_flight", type=int, default=4)
     ap.add_argument(
-        "--dtype", default="float32",
+        "--dtype", default="bfloat16",
         choices=["float32", "bfloat16", "uint8"],
-        help="wire dtype of the full-res target (compute stays fp32); "
-        "uint8 is the production serving contract (u8 in, u8 out)",
+        help="wire dtype of the full-res target (compute stays fp32 "
+        "in-program). The default is the measured-fastest serving config "
+        "(bf16 target + u8 output, docs/ROOFLINE.md r5; fidelity within "
+        "one 8-bit LSB of fp32, pinned by test); float32 is the "
+        "historical control wire, uint8 the host-wire contract",
+    )
+    ap.add_argument(
+        "--out_u8", default="auto", choices=["auto", "true", "false"],
+        help="quantize the output write to u8 in-program (auto: on for "
+        "the default bf16 wire, off otherwise; uint8 input implies it)",
     )
     ap.add_argument("--impl", default=os.environ.get("CURL_TPU_IMPL", "pallas"))
     ap.add_argument("--quick", action="store_true", help="small batch/iters")
@@ -810,11 +818,13 @@ def main() -> None:
     _FAST_WIRE = "bfloat16"
     _FAST_OUT_U8 = True
 
-    def payload(ips: float, phase: str, batch: int, dtype: str) -> dict:
+    def payload(
+        ips: float, phase: str, batch: int, dtype: str, out_u8: bool
+    ) -> dict:
         # Extra keys self-describe the comparison (VERDICT r3 weak #4): the
         # baseline is the torch reference on THIS 1-core host, so the raw
         # ratio is not a like-for-like chip-vs-GPU number.
-        if dtype == "float32":
+        if dtype == "float32" and not out_u8:
             ceiling_note = (
                 "sustained device-time ceiling of this serve program "
                 "(463-475 img/s, K-chained slope, docs/ROOFLINE.md r3); the "
@@ -824,8 +834,9 @@ def main() -> None:
             ceiling_note = (
                 "ceiling measured for the fp32-wire program (463-475 img/s, "
                 "K-chained slope, docs/ROOFLINE.md r3); this run's "
-                f"{dtype}-wire program reads less HBM, so its own ceiling "
-                "is higher and the pct is an overestimate"
+                f"{dtype}-in{'/u8-out' if out_u8 else ''} wire moves less "
+                "HBM, so its own ceiling is higher and the pct is an "
+                "overestimate"
             )
         return {
             "metric": "1080p_enhanced_images_per_sec_per_chip",
@@ -834,10 +845,12 @@ def main() -> None:
             "vs_baseline": round(ips / baseline, 2) if baseline else None,
             "phase": phase,
             "batch": batch,
-            # Wire format of the full-res target (compute stays fp32
-            # in-program): float32 (historical), bfloat16 (half the target
-            # read), or uint8 (the production serving contract, u8 out).
+            # Wire format of the serve program (compute stays fp32
+            # in-program): target read float32 (historical control),
+            # bfloat16 (half the read — the recommended serving config),
+            # or uint8 (host-wire contract); out_u8 = u8 output write.
             "dtype": dtype,
+            "out_u8": out_u8,
             "live_measurement": True,
             # Ceiling comparison only for the real workload (smoke-env runs
             # measure a different program; the ratio would be meaningless).
@@ -858,11 +871,18 @@ def main() -> None:
         }
 
     pipelined = not args.latency
+    # The default headline wire is the recommended production serving
+    # config (bf16 target read + u8 output write): "auto" resolves out_u8
+    # ON exactly for the default bf16 wire; uint8 input implies u8 output
+    # inside measure_jax regardless.
+    out_u8 = {
+        "auto": args.dtype == "bfloat16", "true": True, "false": False
+    }[args.out_u8]
     # --quick is a smoke mode (batch 1): never the record to replay later.
-    # The headline sig deliberately omits batch AND the wire dtype: a
-    # surviving "preliminary" (batch-8) or fast-wire record may replay for a
-    # default run — self-described via replay_of_phase + the payload's own
-    # batch/dtype fields (ADVICE r4; _sig_matches).
+    # The headline sig deliberately omits batch AND the wire (dtype/out_u8):
+    # a surviving "preliminary" (batch-8) or fast-wire record may replay for
+    # a default run — self-described via replay_of_phase + the payload's own
+    # batch/dtype/out_u8 fields (ADVICE r4; _sig_matches).
     _set_run(
         None if args.quick else "headline",
         "1080p_enhanced_images_per_sec_per_chip",
@@ -882,18 +902,19 @@ def main() -> None:
     quick = _measure_once_subprocess(
         qb, qi, args.dtype, args.impl, pipelined, args.max_in_flight,
         timeout=min(max(240.0, 0.55 * DEADLINE_S), _remaining() - 120.0),
+        out_u8=out_u8,
     )
     if quick is None:
         sys.stderr.write("bench: quick attempt failed; waiting for device...\n")
         if _wait_for_device():
             quick = _measure_once_subprocess(
                 qb, qi, args.dtype, args.impl, pipelined, args.max_in_flight,
-                timeout=_remaining() - 60.0,
+                timeout=_remaining() - 60.0, out_u8=out_u8,
             )
     best = None
     if quick is not None:
         best = quick
-        p = payload(quick, "preliminary", qb, args.dtype)
+        p = payload(quick, "preliminary", qb, args.dtype, out_u8)
         _emit(p)
         _save_last_good(p)
 
@@ -902,23 +923,25 @@ def main() -> None:
     if not args.quick and _remaining() > 90:
         final = _measure_once_subprocess(
             args.batch, args.iters, args.dtype, args.impl, pipelined,
-            args.max_in_flight, timeout=_remaining() - 45.0,
+            args.max_in_flight, timeout=_remaining() - 45.0, out_u8=out_u8,
         )
         if final is not None and (quick is None or final >= 0.5 * quick):
             best = final
-            p = payload(final, "final", args.batch, args.dtype)
+            p = payload(final, "final", args.batch, args.dtype, out_u8)
             _emit(p)
             _save_last_good(p)
 
-    # Phase C — fast-wire refinement: re-measure with the best-known wire
-    # (serve_sweep r5: bf16 target + u8 output 478.3 img/s vs 398.6 fp32 at
+    # Phase C — fast-wire refinement for explicit fp32-control runs:
+    # re-measure with the recommended wire (serve_sweep r5 + live phase-C
+    # record: bf16 target + u8 output 478-480 img/s vs 398-407 fp32 at
     # batch 32 — the 1080p target's HBM read and the output write dominate
     # the residual pass). Adopted as the headline only when it beats the
-    # fp32 number by >=5% (prefer the historical wire at a tie);
-    # self-described via the payload's dtype/out_u8 fields.
+    # fp32 number by >=5% (prefer the control wire at a tie);
+    # self-described via the payload's dtype/out_u8 fields. The DEFAULT
+    # run already measures the fast wire in phases A/B, so C is skipped.
     if (
-        not args.quick and args.dtype == "float32" and pipelined
-        and best is not None and _remaining() > 150
+        not args.quick and args.dtype == "float32" and not out_u8
+        and pipelined and best is not None and _remaining() > 150
     ):
         fast = _measure_once_subprocess(
             args.batch, args.iters, _FAST_WIRE, args.impl, pipelined,
@@ -926,9 +949,8 @@ def main() -> None:
             out_u8=_FAST_OUT_U8,
         )
         if fast is not None and fast >= 1.05 * best:
-            p = payload(fast, "final-fastwire", args.batch, _FAST_WIRE)
-            if _FAST_OUT_U8:
-                p["out_u8"] = True  # output quantized in-program (u8 write)
+            p = payload(fast, "final-fastwire", args.batch, _FAST_WIRE,
+                        _FAST_OUT_U8)
             _emit(p)
             _save_last_good(p)
 

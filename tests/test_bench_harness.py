@@ -77,9 +77,10 @@ def test_quick_then_final(monkeypatch, capsys):
     # The headline self-describes its baseline (VERDICT r3 weak #4).
     assert "torch_cpu_images_per_sec" in lines[-1]["baseline"]
     assert lines[-1]["vs_baseline"] is not None
-    # Third call is the phase-C fast-wire attempt; at 400.0 (no >=5% win
-    # over the fp32 final) it must NOT replace the headline.
-    assert [c[0] for c in calls] == [8, 32, 32]
+    # The DEFAULT wire is the recommended serving config, self-described;
+    # no phase-C attempt (phases A/B already measure the fast wire).
+    assert lines[-1]["dtype"] == "bfloat16" and lines[-1]["out_u8"] is True
+    assert [c[0] for c in calls] == [8, 32]
 
 
 def test_phase_a_clamps_to_user_batch(monkeypatch, capsys):
@@ -99,9 +100,10 @@ def test_phase_a_clamps_to_user_batch(monkeypatch, capsys):
 
 
 def test_fastwire_refinement_adopted_when_faster(monkeypatch, capsys):
-    # Phase C: the best-known fast wire (bf16 target) replaces the headline
-    # only when it beats the fp32 number by >=5%, self-described via the
-    # payload's dtype field (serve_sweep r5: 465 vs 398.6 img/s).
+    # An explicit fp32-CONTROL run still gets the phase-C refinement: the
+    # fast wire (bf16 target + u8 output) replaces the headline only when
+    # it beats the fp32 number by >=5%, self-described via the payload's
+    # dtype/out_u8 fields (serve_sweep r5: 478 vs 398.6 img/s).
     seen_u8 = []
 
     def fake_measure(batch, iters, dtype, impl, pipelined, mif, timeout,
@@ -112,7 +114,7 @@ def test_fastwire_refinement_adopted_when_faster(monkeypatch, capsys):
         return 400.0
 
     monkeypatch.setattr(bench, "_measure_once_subprocess", fake_measure)
-    monkeypatch.setattr(sys, "argv", ["bench.py"])
+    monkeypatch.setattr(sys, "argv", ["bench.py", "--dtype", "float32"])
     bench.main()
     lines = _json_lines(capsys)
     assert [l["phase"] for l in lines] == [
