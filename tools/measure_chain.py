@@ -82,6 +82,13 @@ def stages(out: str) -> list[tuple[str, float, list[str]]]:
           "--backbone", "efficientnetv2_rw_t", "--epochs", "10",
           "--batch", "16", "--identity_init", "--peak_lr", "3e-4",
           "--valid_every", "2", "--skip_feed"]),
+        # Longer variant: lets the OneCycle complete (30 per-epoch steps)
+        # for the full convergence curve at 1,000-pair scale.
+        ("scale_curve_long", 7200,
+         [PY, "tools/scale_smoke.py", "--n", "1000",
+          "--backbone", "efficientnetv2_rw_t", "--epochs", "30",
+          "--batch", "16", "--identity_init", "--peak_lr", "3e-4",
+          "--valid_every", "3", "--skip_feed"]),
         # -- resolution-scaling regression: 8K auto-banded single image.
         ("infer_8k", 900, [PY, "tools/infer_8k_probe.py"]),
     ]
