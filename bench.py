@@ -878,6 +878,10 @@ def main() -> None:
     out_u8 = {
         "auto": args.dtype == "bfloat16", "true": True, "false": False
     }[args.out_u8]
+    # The u8 input wire implies the u8 output write inside measure_jax;
+    # reflect that in the payload so it can never claim out_u8: false
+    # while the program actually quantizes.
+    out_u8 = out_u8 or args.dtype == "uint8"
     # --quick is a smoke mode (batch 1): never the record to replay later.
     # The headline sig deliberately omits batch AND the wire (dtype/out_u8):
     # a surviving "preliminary" (batch-8) or fast-wire record may replay for
