@@ -86,6 +86,14 @@ def main() -> None:
         # quantize-out but not the u8 wire's normalize-in (which made pure
         # u8 slower than bf16: 418 vs 465).
         (32, "bfloat16", "float32", 4, "measure_jax", False, 0, True),
+        # K-chained fast-wire programs: the K=2 vs K=4 completion-rate
+        # slope gives the fast-wire program's OWN sustained device time
+        # (the 463-475 ceiling was measured for the fp32 program; the
+        # fast wire moves less HBM so its ceiling is higher) — and a
+        # deeper pipelined window to confirm the turnaround is hidden.
+        (32, "bfloat16", "float32", 2, "measure_jax", False, 2, True),
+        (32, "bfloat16", "float32", 2, "measure_jax", False, 4, True),
+        (32, "bfloat16", "float32", 8, "measure_jax", False, 0, True),
         # Deeper pipeline window inside the stability envelope.
         (32, "float32", "float32", 8, "measure_jax", False, 0),
         (16, "float32", "float32", 16, "measure_jax", False, 0),
